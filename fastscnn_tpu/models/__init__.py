@@ -1,0 +1,22 @@
+from fastscnn_tpu.models.fast_scnn import (
+    FastSCNN,
+    init_fast_scnn,
+    fold_inference_params,
+)
+from fastscnn_tpu.models.registry import get_fast_scnn, DATASET_NUM_CLASSES
+from fastscnn_tpu.models.import_torch import (
+    import_torch_state_dict,
+    load_torch_checkpoint,
+    export_torch_state_dict,
+)
+
+__all__ = [
+    "FastSCNN",
+    "init_fast_scnn",
+    "fold_inference_params",
+    "get_fast_scnn",
+    "DATASET_NUM_CLASSES",
+    "import_torch_state_dict",
+    "load_torch_checkpoint",
+    "export_torch_state_dict",
+]

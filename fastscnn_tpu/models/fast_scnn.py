@@ -1,0 +1,456 @@
+"""Fast-SCNN as pure functional JAX, NHWC, TPU-first.
+
+Architecture parity (channel plan must match reference checkpoints,
+reference:models/fast_scnn.py:20-23):
+
+  LearningToDownsample(32, 48, 64)         → 1/8 res, 64 ch
+  GlobalFeatureExtractor(64, [64,96,128], 128, t=6, [3,3,3]) + PPM(1/2/3/6)
+  FeatureFusionModule(64, 128, 128)
+  Classifier(128, num_classes)
+  final bilinear upsample align_corners=True to input size
+  optional aux head: 3×3 conv 64→32 + BN + ReLU + dropout(0.1) + 1×1 → C
+
+Design notes (TPU):
+- NHWC activations, HWIO weights; depthwise convs via feature_group_count.
+- Two parameter trees: ``params`` (trainable) and ``state`` (BN running
+  stats), mirrored. ``apply`` is a pure function; training mode returns
+  the updated state (sync-BN across the data mesh falls out of sharded
+  reductions).
+- ``fold_inference_params`` bakes every BN into its conv for the serving
+  path; the folded tree is what the inference engine jits.
+- No Python control flow on traced values; all shapes static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from fastscnn_tpu.ops.conv import (
+    batch_norm_apply,
+    batch_norm_train,
+    conv2d,
+    fold_conv_bn,
+)
+from fastscnn_tpu.ops.pool import adaptive_avg_pool
+from fastscnn_tpu.ops.resize import resize_bilinear
+
+__all__ = ["FastSCNN", "init_fast_scnn", "fold_inference_params"]
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match PyTorch defaults so from-scratch training behaves the
+# same: conv = kaiming-uniform(a=√5) ≡ U(±√(6/((1+5)·fan_in))), BN scale=1,
+# bias=0, conv bias = U(±1/√fan_in)).
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kh, kw, cin_per_group, cout, dtype=jnp.float32):
+    fan_in = kh * kw * cin_per_group
+    bound = math.sqrt(1.0 / fan_in)  # kaiming_uniform(a=sqrt(5)) == U(±1/√fan_in)
+    return jax.random.uniform(key, (kh, kw, cin_per_group, cout), dtype, -bound, bound)
+
+
+def _bias_init(key, fan_in, cout, dtype=jnp.float32):
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, (cout,), dtype, -bound, bound)
+
+
+def _bn_params(c, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def _bn_state(c):
+    return {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)}
+
+
+def _init_cbr(key, cin, cout, k, groups=1):
+    """Conv(bias=False)+BN(+ReLU) block params/state."""
+    p = {"w": _conv_init(key, k, k, cin // groups, cout), "bn": _bn_params(cout)}
+    return p, {"bn": _bn_state(cout)}
+
+
+def _init_conv_bias(key, cin, cout, k):
+    kw_, kb_ = jax.random.split(key)
+    return {
+        "w": _conv_init(kw_, k, k, cin, cout),
+        "b": _bias_init(kb_, k * k * cin, cout),
+    }
+
+
+def _init_ds(key, cin, cout):
+    """Depthwise-separable conv: dw 3×3 (+BN+ReLU) → pw 1×1 (+BN+ReLU).
+    reference:models/fast_scnn.py:64-79."""
+    k1, k2 = jax.random.split(key)
+    dw_p, dw_s = _init_cbr(k1, cin, cin, 3, groups=cin)
+    pw_p, pw_s = _init_cbr(k2, cin, cout, 1)
+    return {"dw": dw_p, "pw": pw_p}, {"dw": dw_s, "pw": pw_s}
+
+
+def _init_bottleneck(key, cin, cout, t):
+    """MobileNetV2 inverted residual. reference:models/fast_scnn.py:95-115."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = cin * t
+    exp_p, exp_s = _init_cbr(k1, cin, hidden, 1)
+    dw_p, dw_s = _init_cbr(k2, hidden, hidden, 3, groups=hidden)
+    proj_p = {"w": _conv_init(k3, 1, 1, hidden, cout), "bn": _bn_params(cout)}
+    proj_s = {"bn": _bn_state(cout)}
+    return (
+        {"expand": exp_p, "dw": dw_p, "project": proj_p},
+        {"expand": exp_s, "dw": dw_s, "project": proj_s},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block applies. Each takes (params, state_or_None, x) and returns
+# (y, new_state_or_None): state=None selects inference mode on running stats.
+# ---------------------------------------------------------------------------
+
+
+def _apply_bn(p_bn, s_bn, x, training):
+    if training:
+        y, m, v = batch_norm_train(x, p_bn["scale"], p_bn["bias"], s_bn["mean"], s_bn["var"])
+        return y, {"mean": m, "var": v}
+    return batch_norm_apply(x, p_bn["scale"], p_bn["bias"], s_bn["mean"], s_bn["var"]), s_bn
+
+
+def _apply_cbr(p, s, x, training, stride=1, padding=0, groups=1, relu=True):
+    y = conv2d(x, p["w"], stride=stride, padding=padding, groups=groups)
+    y, s_bn = _apply_bn(p["bn"], s["bn"], y, training)
+    if relu:
+        y = jax.nn.relu(y)
+    return y, {"bn": s_bn}
+
+
+def _apply_ds(p, s, x, training, stride=1):
+    cin = x.shape[-1]
+    y, s_dw = _apply_cbr(p["dw"], s["dw"], x, training, stride=stride, padding=1, groups=cin)
+    y, s_pw = _apply_cbr(p["pw"], s["pw"], y, training)
+    return y, {"dw": s_dw, "pw": s_pw}
+
+
+def _apply_bottleneck(p, s, x, training, stride):
+    cin = x.shape[-1]
+    y, s_e = _apply_cbr(p["expand"], s["expand"], x, training)
+    hidden = y.shape[-1]
+    y, s_d = _apply_cbr(p["dw"], s["dw"], y, training, stride=stride, padding=1, groups=hidden)
+    y = conv2d(y, p["project"]["w"])
+    y, s_p_bn = _apply_bn(p["project"]["bn"], s["project"]["bn"], y, training)
+    if stride == 1 and cin == y.shape[-1]:
+        y = x + y
+    return y, {"expand": s_e, "dw": s_d, "project": {"bn": s_p_bn}}
+
+
+# ---------------------------------------------------------------------------
+# The network.
+# ---------------------------------------------------------------------------
+
+_LTD = (32, 48, 64)
+_GFE_BLOCKS = (64, 96, 128)
+_GFE_OUT = 128
+_GFE_T = 6
+_GFE_NUM = (3, 3, 3)
+_FFM_OUT = 128
+_PPM_SIZES = (1, 2, 3, 6)
+
+
+@dataclasses.dataclass(frozen=True)
+class FastSCNN:
+    """Configuration + pure apply functions for Fast-SCNN.
+
+    ``apply(params, state, x, training=False, rng=None)`` returns
+    ``(outputs, new_state)`` where ``outputs`` is ``(main,)`` or
+    ``(main, aux)`` logits in NHWC at the input resolution — mirroring
+    the tuple contract of reference:models/fast_scnn.py:33-46.
+    """
+
+    num_classes: int
+    aux: bool = False
+    dropout_rate: float = 0.1
+    # ONNX/ATC-style fixed pooling: replace adaptive pools with fixed-stride
+    # average pools when the 1/32 feature map is divisible by 6
+    # (reference:export_onnx_fixed.py:100-163). Functionally identical when
+    # divisible; kept as an option for export parity experiments.
+    ppm_sizes: tuple[int, ...] = _PPM_SIZES
+
+    # -- init ---------------------------------------------------------------
+    def init(self, key) -> tuple[Params, Params]:
+        return init_fast_scnn(key, self.num_classes, self.aux)
+
+    # -- forward ------------------------------------------------------------
+    def apply(self, params, state, x, training=False, rng=None):
+        size = (x.shape[1], x.shape[2])
+        new_state = jax.tree_util.tree_map(lambda v: v, state)  # shallow copy
+
+        higher, new_state["learning_to_downsample"] = self._ltd(
+            params["learning_to_downsample"], state["learning_to_downsample"], x, training
+        )
+        lower, new_state["global_feature_extractor"] = self._gfe(
+            params["global_feature_extractor"], state["global_feature_extractor"], higher, training
+        )
+        fused, new_state["feature_fusion"] = self._ffm(
+            params["feature_fusion"], state["feature_fusion"], higher, lower, training
+        )
+        logits, new_state["classifier"] = self._classifier(
+            params["classifier"], state["classifier"], fused, training, rng
+        )
+        logits = resize_bilinear(logits, size, align_corners=True)
+        outputs = (logits,)
+        if self.aux:
+            auxout, new_state["auxlayer"] = self._aux(
+                params["auxlayer"], state["auxlayer"], higher, training, rng
+            )
+            auxout = resize_bilinear(auxout, size, align_corners=True)
+            outputs = (logits, auxout)
+        return outputs, new_state
+
+    # -- modules ------------------------------------------------------------
+    def _ltd(self, p, s, x, training):
+        """reference:models/fast_scnn.py:148-161."""
+        y, s1 = _apply_cbr(p["conv"], s["conv"], x, training, stride=2, padding=0)
+        y, s2 = _apply_ds(p["dsconv1"], s["dsconv1"], y, training, stride=2)
+        y, s3 = _apply_ds(p["dsconv2"], s["dsconv2"], y, training, stride=2)
+        return y, {"conv": s1, "dsconv1": s2, "dsconv2": s3}
+
+    def _gfe(self, p, s, x, training):
+        """reference:models/fast_scnn.py:164-187."""
+        ns = {}
+        for name, stride in (("bottleneck1", 2), ("bottleneck2", 2), ("bottleneck3", 1)):
+            stage_s = []
+            for i, (bp, bs) in enumerate(zip(p[name], s[name])):
+                x, s_i = _apply_bottleneck(bp, bs, x, training, stride if i == 0 else 1)
+                stage_s.append(s_i)
+            ns[name] = stage_s
+        x, ns["ppm"] = self._ppm(p["ppm"], s["ppm"], x, training)
+        return x, ns
+
+    def _ppm(self, p, s, x, training):
+        """Pyramid pooling: adaptive pools 1/2/3/6 → 1×1 CBR → bilinear
+        upsample (align_corners=True) → concat → 1×1 CBR.
+        reference:models/fast_scnn.py:118-145."""
+        size = (x.shape[1], x.shape[2])
+        feats = [x]
+        ns = {}
+        for conv_name, pool_size in zip(("conv1", "conv2", "conv3", "conv4"), self.ppm_sizes):
+            y = adaptive_avg_pool(x, pool_size)
+            y, ns[conv_name] = _apply_cbr(p[conv_name], s[conv_name], y, training)
+            feats.append(resize_bilinear(y, size, align_corners=True))
+        y = jnp.concatenate(feats, axis=-1)
+        y, ns["out"] = _apply_cbr(p["out"], s["out"], y, training)
+        return y, ns
+
+    def _ffm(self, p, s, higher, lower, training):
+        """reference:models/fast_scnn.py:190-218."""
+        size = (higher.shape[1], higher.shape[2])
+        lower = resize_bilinear(lower, size, align_corners=True)
+        c = lower.shape[-1]
+        lower, s_dw = _apply_cbr(p["dwconv"], s["dwconv"], lower, training, padding=1, groups=c)
+        lower = conv2d(lower, p["conv_lower_res"]["w"], p["conv_lower_res"]["b"])
+        lower, s_lo = _apply_bn(p["conv_lower_res"]["bn"], s["conv_lower_res"]["bn"], lower, training)
+        higher = conv2d(higher, p["conv_higher_res"]["w"], p["conv_higher_res"]["b"])
+        higher, s_hi = _apply_bn(p["conv_higher_res"]["bn"], s["conv_higher_res"]["bn"], higher, training)
+        out = jax.nn.relu(higher + lower)
+        return out, {
+            "dwconv": s_dw,
+            "conv_lower_res": {"bn": s_lo},
+            "conv_higher_res": {"bn": s_hi},
+        }
+
+    def _classifier(self, p, s, x, training, rng):
+        """reference:models/fast_scnn.py:221-237."""
+        y, s1 = _apply_ds(p["dsconv1"], s["dsconv1"], x, training)
+        y, s2 = _apply_ds(p["dsconv2"], s["dsconv2"], y, training)
+        y = self._dropout(y, training, rng, salt=0)
+        y = conv2d(y, p["conv"]["w"], p["conv"]["b"])
+        return y, {"dsconv1": s1, "dsconv2": s2}
+
+    def _aux(self, p, s, x, training, rng):
+        """reference:models/fast_scnn.py:24-31."""
+        y = conv2d(x, p["conv1"]["w"], padding=1)
+        y, s_bn = _apply_bn(p["conv1"]["bn"], s["conv1"]["bn"], y, training)
+        y = jax.nn.relu(y)
+        y = self._dropout(y, training, rng, salt=1)
+        y = conv2d(y, p["conv2"]["w"], p["conv2"]["b"])
+        return y, {"conv1": {"bn": s_bn}}
+
+    def _dropout(self, x, training, rng, salt):
+        if not training or rng is None or self.dropout_rate <= 0.0:
+            return x
+        keep = 1.0 - self.dropout_rate
+        mask = jax.random.bernoulli(jax.random.fold_in(rng, salt), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+    # -- folded inference ---------------------------------------------------
+    def apply_folded(self, fparams, x):
+        """Inference forward on a BN-folded parameter tree
+        (see :func:`fold_inference_params`). Every block is conv+bias+ReLU;
+        zero batch-norm work in the graph."""
+
+        def cbr(p, y, stride=1, padding=0, groups=1, relu=True):
+            y = conv2d(y, p["w"], p["b"], stride=stride, padding=padding, groups=groups)
+            return jax.nn.relu(y) if relu else y
+
+        def ds(p, y, stride=1):
+            y = cbr(p["dw"], y, stride=stride, padding=1, groups=y.shape[-1])
+            return cbr(p["pw"], y)
+
+        def bottleneck(p, y, stride):
+            cin = y.shape[-1]
+            z = cbr(p["expand"], y)
+            z = cbr(p["dw"], z, stride=stride, padding=1, groups=z.shape[-1])
+            z = cbr(p["project"], z, relu=False)
+            if stride == 1 and cin == z.shape[-1]:
+                z = y + z
+            return z
+
+        size = (x.shape[1], x.shape[2])
+        p = fparams
+        # LTD
+        y = cbr(p["learning_to_downsample"]["conv"], x, stride=2)
+        y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2)
+        higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2)
+        # GFE
+        y = higher
+        g = p["global_feature_extractor"]
+        for name, stride in (("bottleneck1", 2), ("bottleneck2", 2), ("bottleneck3", 1)):
+            for i, bp in enumerate(g[name]):
+                y = bottleneck(bp, y, stride if i == 0 else 1)
+        psize = (y.shape[1], y.shape[2])
+        feats = [y]
+        for conv_name, pool_size in zip(("conv1", "conv2", "conv3", "conv4"), self.ppm_sizes):
+            z = adaptive_avg_pool(y, pool_size)
+            z = cbr(g["ppm"][conv_name], z)
+            feats.append(resize_bilinear(z, psize, align_corners=True))
+        y = jnp.concatenate(feats, axis=-1)
+        lower = cbr(g["ppm"]["out"], y)
+        # FFM
+        f = p["feature_fusion"]
+        lo = resize_bilinear(lower, (higher.shape[1], higher.shape[2]), align_corners=True)
+        lo = cbr(f["dwconv"], lo, padding=1, groups=lo.shape[-1])
+        lo = cbr(f["conv_lower_res"], lo, relu=False)
+        hi = cbr(f["conv_higher_res"], higher, relu=False)
+        fused = jax.nn.relu(hi + lo)
+        # Classifier
+        c = p["classifier"]
+        y = ds(c["dsconv1"], fused)
+        y = ds(c["dsconv2"], y)
+        logits = conv2d(y, c["conv"]["w"], c["conv"]["b"])
+        logits = resize_bilinear(logits, size, align_corners=True)
+        if self.aux and "auxlayer" in p:
+            a = p["auxlayer"]
+            z = cbr(a["conv1"], higher, padding=1)
+            auxout = conv2d(z, a["conv2"]["w"], a["conv2"]["b"])
+            auxout = resize_bilinear(auxout, size, align_corners=True)
+            return (logits, auxout)
+        return (logits,)
+
+
+def init_fast_scnn(key, num_classes: int, aux: bool = False) -> tuple[Params, Params]:
+    """Initialize (params, state) trees for Fast-SCNN."""
+    keys = iter(jax.random.split(key, 64))
+    params: Params = {}
+    state: Params = {}
+
+    # LTD
+    conv_p, conv_s = _init_cbr(next(keys), 3, _LTD[0], 3)
+    ds1_p, ds1_s = _init_ds(next(keys), _LTD[0], _LTD[1])
+    ds2_p, ds2_s = _init_ds(next(keys), _LTD[1], _LTD[2])
+    params["learning_to_downsample"] = {"conv": conv_p, "dsconv1": ds1_p, "dsconv2": ds2_p}
+    state["learning_to_downsample"] = {"conv": conv_s, "dsconv1": ds1_s, "dsconv2": ds2_s}
+
+    # GFE
+    gfe_p: Params = {}
+    gfe_s: Params = {}
+    chans = [(_LTD[2], _GFE_BLOCKS[0]), (_GFE_BLOCKS[0], _GFE_BLOCKS[1]), (_GFE_BLOCKS[1], _GFE_BLOCKS[2])]
+    for stage, ((cin, cout), nblocks) in enumerate(zip(chans, _GFE_NUM), start=1):
+        blocks_p, blocks_s = [], []
+        for i in range(nblocks):
+            bp, bs = _init_bottleneck(next(keys), cin if i == 0 else cout, cout, _GFE_T)
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+        gfe_p[f"bottleneck{stage}"] = blocks_p
+        gfe_s[f"bottleneck{stage}"] = blocks_s
+    inter = _GFE_BLOCKS[2] // 4
+    ppm_p: Params = {}
+    ppm_s: Params = {}
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        ppm_p[name], ppm_s[name] = _init_cbr(next(keys), _GFE_BLOCKS[2], inter, 1)
+    ppm_p["out"], ppm_s["out"] = _init_cbr(next(keys), _GFE_BLOCKS[2] * 2, _GFE_OUT, 1)
+    gfe_p["ppm"] = ppm_p
+    gfe_s["ppm"] = ppm_s
+    params["global_feature_extractor"] = gfe_p
+    state["global_feature_extractor"] = gfe_s
+
+    # FFM — note conv_lower_res / conv_higher_res are 1×1 convs *with* bias
+    # (nn.Conv2d default, reference:models/fast_scnn.py:197-204).
+    dw_p, dw_s = _init_cbr(next(keys), _GFE_OUT, _FFM_OUT, 3, groups=_GFE_OUT)
+    lower_p = _init_conv_bias(next(keys), _FFM_OUT, _FFM_OUT, 1)
+    lower_p["bn"] = _bn_params(_FFM_OUT)
+    higher_p = _init_conv_bias(next(keys), _LTD[2], _FFM_OUT, 1)
+    higher_p["bn"] = _bn_params(_FFM_OUT)
+    params["feature_fusion"] = {
+        "dwconv": dw_p,
+        "conv_lower_res": lower_p,
+        "conv_higher_res": higher_p,
+    }
+    state["feature_fusion"] = {
+        "dwconv": dw_s,
+        "conv_lower_res": {"bn": _bn_state(_FFM_OUT)},
+        "conv_higher_res": {"bn": _bn_state(_FFM_OUT)},
+    }
+
+    # Classifier
+    c1_p, c1_s = _init_ds(next(keys), _FFM_OUT, _FFM_OUT)
+    c2_p, c2_s = _init_ds(next(keys), _FFM_OUT, _FFM_OUT)
+    params["classifier"] = {
+        "dsconv1": c1_p,
+        "dsconv2": c2_p,
+        "conv": _init_conv_bias(next(keys), _FFM_OUT, num_classes, 1),
+    }
+    state["classifier"] = {"dsconv1": c1_s, "dsconv2": c2_s}
+
+    if aux:
+        a1 = {"w": _conv_init(next(keys), 3, 3, _LTD[2], 32), "bn": _bn_params(32)}
+        params["auxlayer"] = {
+            "conv1": a1,
+            "conv2": _init_conv_bias(next(keys), 32, num_classes, 1),
+        }
+        state["auxlayer"] = {"conv1": {"bn": _bn_state(32)}}
+
+    return params, state
+
+
+def _fold_tree(p: Params, s: Params) -> Params:
+    """Recursively fold {w[,b],bn}+state{bn} leaves into {w,b}."""
+    if isinstance(p, list):
+        return [_fold_tree(pi, si) for pi, si in zip(p, s)]
+    if isinstance(p, dict):
+        if "w" in p and "bn" in p:
+            w, b = fold_conv_bn(
+                p["w"], p.get("b"), p["bn"]["scale"], p["bn"]["bias"], s["bn"]["mean"], s["bn"]["var"]
+            )
+            return {"w": w, "b": b}
+        if "w" in p:  # plain conv (+bias), e.g. final classifier conv
+            out = {"w": p["w"].astype(jnp.float32)}
+            out["b"] = (
+                p["b"].astype(jnp.float32) if "b" in p else jnp.zeros((p["w"].shape[-1],), jnp.float32)
+            )
+            return out
+        return {k: _fold_tree(p[k], s.get(k, {}) if isinstance(s, dict) else {}) for k in p}
+    return p
+
+
+def fold_inference_params(params: Params, state: Params, dtype=jnp.bfloat16) -> Params:
+    """Produce the BN-folded inference tree, cast to ``dtype`` (weights stay
+    attached to f32 accumulation via ``preferred_element_type`` in conv2d).
+
+    Equivalent in spirit to the reference's export-time graph surgery
+    (reference:export_onnx_fixed.py:139-163) but done once at load."""
+    folded = _fold_tree(params, state)
+    return jax.tree_util.tree_map(lambda v: v.astype(dtype), folded)

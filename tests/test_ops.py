@@ -1,0 +1,95 @@
+"""Ops parity tests: bilinear resize and adaptive pooling vs PyTorch."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastscnn_tpu.ops import adaptive_avg_pool, avg_pool, resize_bilinear, resize_nearest
+from tests.conftest import requires_torch
+
+
+@requires_torch
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((4, 4), (8, 8)),
+        ((1, 1), (7, 5)),
+        ((2, 3), (32, 48)),
+        ((16, 32), (128, 256)),
+        ((13, 17), (7, 5)),  # downsample
+        ((24, 24), (24, 24)),  # identity
+    ],
+)
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_resize_bilinear_matches_torch(rng, in_hw, out_hw, align_corners):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), out_hw, align_corners=align_corners))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=out_hw,
+            mode="bilinear",
+            align_corners=align_corners,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+@requires_torch
+@pytest.mark.parametrize("in_hw", [(32, 64), (33, 65), (7, 11), (6, 6)])
+@pytest.mark.parametrize("out_size", [1, 2, 3, 6])
+def test_adaptive_avg_pool_matches_torch(rng, in_hw, out_size):
+    import torch
+
+    x = rng.standard_normal((2, *in_hw, 5), dtype=np.float32)
+    ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), out_size))
+    theirs = (
+        torch.nn.AdaptiveAvgPool2d(out_size)(torch.from_numpy(x).permute(0, 3, 1, 2))
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+@requires_torch
+def test_fixed_avg_pool_matches_torch(rng):
+    import torch
+
+    x = rng.standard_normal((1, 32, 32, 4), dtype=np.float32)
+    for window in (32, 16, 8, 4):
+        ours = np.asarray(avg_pool(jnp.asarray(x), window))
+        theirs = (
+            torch.nn.AvgPool2d(window, window)(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_nearest_matches_cv2_shape(rng):
+    x = (rng.random((1, 12, 18, 1)) * 255).astype(np.float32)
+    out = np.asarray(resize_nearest(jnp.asarray(x), (36, 54)))
+    assert out.shape == (1, 36, 54, 1)
+    # Nearest must only contain values from the input
+    assert set(np.unique(out)).issubset(set(np.unique(x)))
+
+
+@requires_torch
+def test_resize_nearest_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((1, 9, 13, 2), dtype=np.float32)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), (27, 31)))
+    theirs = (
+        F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(27, 31), mode="nearest")
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs)
