@@ -1,0 +1,95 @@
+"""Streaming pixAcc / mIoU metrics — device-resident, psum-able.
+
+Port of reference:utils/metric.py:12-105 with the same histogram math
+(class ids shifted +1, pixels with negative labels ignored) but computed
+on device as fixed-shape reductions. The accumulator state is a flat
+float64-free tuple of int32/int64 arrays, so under a sharded jit it can
+be reduced across the data mesh with a single ``psum`` — the TPU-native
+replacement for the reference's thread-locked numpy accumulation
+(SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["seg_hist_update", "seg_scores_from_hist", "SegmentationMetric"]
+
+
+def seg_hist_update(pred: jnp.ndarray, target: jnp.ndarray, nclass: int):
+    """Per-batch sufficient statistics.
+
+    Args:
+      pred:   (..., ) int predicted class ids in [0, nclass).
+      target: (..., ) int labels; negative = ignore.
+    Returns:
+      (correct, labeled, inter, union): scalars + (nclass,) arrays, all
+      int32 on-device. Pure & shape-static → safe inside jit, and the
+      outputs can be ``lax.psum``-ed over a mesh axis.
+    """
+    pred = pred.astype(jnp.int32)
+    target = target.astype(jnp.int32)
+    valid = target >= 0
+    correct = jnp.sum((pred == target) & valid)
+    labeled = jnp.sum(valid)
+
+    tc = jnp.where(valid, target, 0)
+    onehot_t = jax.nn.one_hot(tc, nclass, dtype=jnp.int32) * valid[..., None].astype(jnp.int32)
+    onehot_p = jax.nn.one_hot(pred, nclass, dtype=jnp.int32) * valid[..., None].astype(jnp.int32)
+    axes = tuple(range(pred.ndim))
+    area_lab = jnp.sum(onehot_t, axis=axes)
+    area_pred = jnp.sum(onehot_p, axis=axes)
+    inter = jnp.sum(onehot_t * onehot_p, axis=axes)
+    union = area_pred + area_lab - inter
+    return correct, labeled, inter, union
+
+
+def seg_scores_from_hist(correct, labeled, inter, union):
+    """(pixAcc, mIoU) from accumulated statistics
+    (reference:utils/metric.py:42-54)."""
+    correct = np.asarray(correct, np.float64)
+    labeled = np.asarray(labeled, np.float64)
+    inter = np.asarray(inter, np.float64)
+    union = np.asarray(union, np.float64)
+    pix_acc = correct / (np.spacing(1) + labeled)
+    iou = inter / (np.spacing(1) + union)
+    return float(pix_acc), float(iou.mean())
+
+
+class SegmentationMetric:
+    """Drop-in replacement for the reference metric class: ``update(pred,
+    label)`` accepts numpy or jax arrays (batched or single), ``get()``
+    returns (pixAcc, mIoU)."""
+
+    def __init__(self, nclass: int):
+        self.nclass = nclass
+        self.reset()
+
+    def reset(self):
+        self.total_correct = 0
+        self.total_label = 0
+        self.total_inter = np.zeros(self.nclass, np.int64)
+        self.total_union = np.zeros(self.nclass, np.int64)
+
+    def update(self, preds, labels):
+        if isinstance(preds, (list, tuple)):
+            for p, l in zip(preds, labels):
+                self.update(p, l)
+            return
+        correct, labeled, inter, union = seg_hist_update(
+            jnp.asarray(preds), jnp.asarray(labels), self.nclass
+        )
+        self.total_correct += int(correct)
+        self.total_label += int(labeled)
+        self.total_inter += np.asarray(inter, np.int64)
+        self.total_union += np.asarray(union, np.int64)
+
+    def get(self):
+        return seg_scores_from_hist(
+            self.total_correct, self.total_label, self.total_inter, self.total_union
+        )
+
+    def per_class_iou(self):
+        return self.total_inter / (np.spacing(1) + self.total_union)

@@ -1,0 +1,70 @@
+"""Metric and LR-schedule parity vs the reference numpy implementations."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from fastscnn_tpu.utils import LRScheduler, SegmentationMetric, lr_schedule
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+
+def _ref_module(name):
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import importlib
+
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+
+@requires_reference
+def test_metric_parity(rng):
+    ref_metric = _ref_module("utils.metric")
+    nclass = 19
+    ours = SegmentationMetric(nclass)
+    theirs = ref_metric.SegmentationMetric(nclass)
+    for _ in range(4):
+        pred = rng.integers(0, nclass, size=(2, 33, 47))
+        target = rng.integers(-1, nclass, size=(2, 33, 47))
+        ours.update(pred, target)
+        theirs.update(pred.astype(np.int64), target.astype(np.int64))
+    pa_o, miou_o = ours.get()
+    pa_t, miou_t = theirs.get()
+    assert abs(pa_o - pa_t) < 1e-9
+    assert abs(miou_o - miou_t) < 1e-9
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "mode,kwargs",
+    [
+        ("poly", dict(power=0.9)),
+        ("cosine", {}),
+        ("linear", {}),
+        ("constant", {}),
+        ("step", dict(step_epoch=[20, 40], step_factor=0.5)),
+    ],
+)
+def test_lr_schedule_parity(mode, kwargs):
+    ref_sched = _ref_module("utils.lr_scheduler")
+    nepochs, ipe = 6, 37
+    theirs = ref_sched.LRScheduler(mode=mode, base_lr=0.01, nepochs=nepochs, iters_per_epoch=ipe, **kwargs)
+    sched = lr_schedule(mode, base_lr=0.01, nepochs=nepochs, iters_per_epoch=ipe, **kwargs)
+    stateful = LRScheduler(mode, base_lr=0.01, nepochs=nepochs, iters_per_epoch=ipe, **kwargs)
+    for it in range(0, nepochs * ipe, 13):
+        assert abs(float(sched(it)) - theirs(it)) < 1e-7
+        assert abs(stateful(it) - theirs(it)) < 1e-7
+
+
+def test_metric_streaming_equals_oneshot(rng):
+    nclass = 5
+    pred = rng.integers(0, nclass, size=(8, 16, 16))
+    target = rng.integers(-1, nclass, size=(8, 16, 16))
+    m1 = SegmentationMetric(nclass)
+    m1.update(pred, target)
+    m2 = SegmentationMetric(nclass)
+    for i in range(8):
+        m2.update(pred[i], target[i])
+    assert m1.get() == m2.get()
