@@ -1,0 +1,196 @@
+"""End-to-end jitted inference engines.
+
+The whole serving pipeline — uint8 image → normalize → network → argmax/
+softmax mask (optionally with internal resize, mirroring the reference's
+"end-to-end" ONNX graph reference:export_onnx_fixed.py:34-98) — compiles
+into ONE XLA program per input shape:
+
+- preprocessing runs on device (uint8 HBM transfer only: 3 bytes/pixel,
+  minimizing PCIe/DMA pressure — the reference instead feeds fp16/fp32
+  tensors from the host, 2-4× the transfer volume);
+- the network runs on BN-folded weights in bf16 (f32 MXU accumulation);
+- argmax emits uint8/int32 masks so the device→host return is 1 byte/px.
+
+Compiled executables are cached per (batch, H, W) — the bucket-and-pad
+strategy for variable-size eval lives in the evaluator, not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastscnn_tpu.models.fast_scnn import FastSCNN, fold_inference_params
+from fastscnn_tpu.ops.resize import resize_bilinear, resize_nearest
+
+__all__ = ["InferenceEngine", "E2EConfig", "IMAGENET_MEAN", "IMAGENET_STD"]
+
+# Training-side normalization for citys/tusimple/bdd100k
+# (reference:train.py:104-107); custom dataset uses /255 only
+# (reference:data_loader/custom.py:160-164).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class E2EConfig:
+    """End-to-end graph options (reference:export_onnx_fixed.py:165-258).
+
+    ``internal_size``: the fixed resolution the backbone runs at (the
+    reference uses 1024×1024); ``None`` runs at the input resolution.
+    ``mean``/``std``: per-channel normalization after /255 scaling; None
+    means raw [0,1] (the custom-dataset convention).
+    ``softmax``: emit class probabilities resized back to the input size
+    instead of an argmax mask.
+    """
+
+    internal_size: tuple[int, int] | None = None
+    mean: tuple[float, ...] | None = None
+    std: tuple[float, ...] | None = None
+    softmax: bool = False
+    compute_dtype: str = "bfloat16"
+
+
+class InferenceEngine:
+    """Jit-compiled Fast-SCNN serving engine on BN-folded weights.
+
+    Usage::
+
+        model = FastSCNN(num_classes=19)
+        engine = InferenceEngine(model, params, state,
+                                 config=E2EConfig(mean=IMAGENET_MEAN, std=IMAGENET_STD))
+        mask = engine.predict(uint8_images)      # (N,H,W) int32
+
+    Also exposes the reference's ``InferSession`` duck-type
+    (reference:kuruma/core/inference.py:28-65): ``engine.infer([x])``
+    accepts a preprocessed NCHW float array and returns logits, so the
+    downstream perception pipeline can swap backends untouched.
+    """
+
+    def __init__(
+        self,
+        model: FastSCNN,
+        params,
+        state,
+        config: E2EConfig = E2EConfig(),
+        donate: bool = False,
+    ):
+        self.model = model
+        self.config = config
+        dtype = jnp.dtype(config.compute_dtype)
+        self.folded = fold_inference_params(params, state, dtype=dtype)
+        self._dtype = dtype
+        self._predict_cache: dict = {}
+        self._logits_cache: dict = {}
+
+    # -- graph builders -----------------------------------------------------
+    def _preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        """uint8/float NHWC [0,255] → normalized compute-dtype NHWC."""
+        cfg = self.config
+        x = images.astype(self._dtype) * jnp.asarray(1.0 / 255.0, self._dtype)
+        if cfg.internal_size is not None:
+            # The reference E2E graph resizes with align_corners=False
+            # (reference:export_onnx_fixed.py:62-78).
+            x = resize_bilinear(x, cfg.internal_size, align_corners=False)
+        if cfg.mean is not None:
+            mean = jnp.asarray(cfg.mean, self._dtype)
+            std = jnp.asarray(cfg.std if cfg.std is not None else (1.0,) * 3, self._dtype)
+            x = (x - mean) / std
+        return x
+
+    def _forward(self, images: jnp.ndarray):
+        x = self._preprocess(images)
+        logits = self.model.apply_folded(self.folded, x)[0]
+        return logits
+
+    def _build_predict(self, shape):
+        out_size = shape[1:3]
+        cfg = self.config
+
+        def fn(images):
+            logits = self._forward(images)
+            if cfg.softmax:
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                if probs.shape[1:3] != tuple(out_size):
+                    probs = resize_bilinear(probs, out_size, align_corners=False)
+                return probs
+            mask = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if mask.shape[1:3] != tuple(out_size):
+                mask = resize_nearest(mask, out_size, h_axis=1, w_axis=2)
+            return mask
+
+        return jax.jit(fn)
+
+    # -- public API ---------------------------------------------------------
+    def predict(self, images) -> np.ndarray:
+        """uint8 NHWC batch → (N,H,W) int32 argmax mask (or (N,H,W,C)
+        softmax probabilities when ``config.softmax``)."""
+        images = jnp.asarray(images)
+        squeeze = images.ndim == 3
+        if squeeze:
+            images = images[None]
+        key = images.shape
+        if key not in self._predict_cache:
+            self._predict_cache[key] = self._build_predict(images.shape)
+        out = self._predict_cache[key](images)
+        out = np.asarray(out)
+        return out[0] if squeeze else out
+
+    def predict_fn(self, shape) -> Callable:
+        """The raw jitted callable for a given input shape (bench/export)."""
+        if shape not in self._predict_cache:
+            self._predict_cache[shape] = self._build_predict(shape)
+        return self._predict_cache[shape]
+
+    def logits(self, images) -> np.ndarray:
+        images = jnp.asarray(images)
+        key = ("logits", images.shape)
+        if key not in self._logits_cache:
+            self._logits_cache[key] = jax.jit(self._forward)
+        return np.asarray(self._logits_cache[key](images))
+
+    def throughput_fn(self, shape, iters: int = 30):
+        """A single jitted program running ``iters`` full forward passes in
+        an on-device ``fori_loop`` (returns a checksum scalar).
+
+        This is the honest way to measure device throughput here: per-call
+        host dispatch through the remote-TPU relay costs ~10 ms, which an
+        in-graph loop amortizes away — on directly-attached TPUs the two
+        protocols agree."""
+        from jax import lax
+
+        out_size = shape[1:3]
+
+        def one(x):
+            logits = self._forward(x)
+            mask = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if mask.shape[1:3] != tuple(out_size):
+                mask = resize_nearest(mask, out_size, h_axis=1, w_axis=2)
+            return mask
+
+        def loop_body(i, carry):
+            x, acc = carry
+            m = one(x)
+            return (x, acc + m[0, 0, 0])
+
+        @jax.jit
+        def bench(x):
+            _, acc = lax.fori_loop(0, iters, loop_body, (x, jnp.int32(0)))
+            return acc
+
+        return bench
+
+    # -- reference InferSession duck-type ------------------------------------
+    def infer(self, feeds: list) -> list:
+        """Accept [NCHW float array in [0,255] or normalized], return
+        [NCHW logits] — the ``.infer()`` seam shared by ONNXInferSession /
+        AtlasInferSession (reference:onnx_single_image_inference.py:267-314)."""
+        x = np.asarray(feeds[0])
+        nhwc = np.transpose(x, (0, 2, 3, 1))
+        logits = self.logits(jnp.asarray(nhwc))
+        return [np.transpose(logits, (0, 3, 1, 2))]

@@ -1,0 +1,130 @@
+"""Fused bilinear-upsample + argmax Pallas kernel.
+
+The serving hot spot: Fast-SCNN's final ×8 upsample of C-class logits to
+full resolution (reference:models/fast_scnn.py:40) followed by argmax.
+Done naively this materializes an (N, 1024, 2048, C) tensor — ~160 MB of
+HBM write+read per 4-frame batch, which measured at ~7 ms/batch on v5e
+(more than the whole backbone). This kernel computes the mask without
+ever writing the full-resolution logits to HBM.
+
+Formulation (gather-free, MXU-native): 1-D bilinear resampling along an
+axis is multiplication by a banded two-tap matrix. So
+
+    mask = argmax_C( A_H @ logits @ A_W )
+
+with A_H (H_out, h) and A_W (w, W_out) built from the align_corners
+source mapping. The kernel tiles over (batch, H_out/TH): each step
+  1. H-expands a TH-row strip:  (TH, h) @ (h, C·w)    [tiny matmul]
+  2. W-expands:                 (TH·C, w) @ (w, W)    [the big matmul,
+     M = TH·C ≈ 300, K = w, N = W — all MXU-aligned]
+  3. argmaxes over C in VMEM and writes only the (TH, W) int32 mask.
+
+HBM traffic per image: read h·C·w logits (~1 MB) + write H·W int mask —
+two orders of magnitude less than the naive path. The dense matmuls
+"waste" FLOPs vs the 2-tap band structure, but at these shapes the MXU
+is bandwidth-starved anyway (~80 GFLOP per 4-frame batch ≈ 0.4 ms).
+
+Interpolation runs in bf16 with f32 accumulation; ties and near-ties can
+differ from the f32 reference on <0.01% of pixels (well inside the 0.38%
+mask-diff tolerance of reference:compare_pytorch_onnx.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastscnn_tpu.ops.resize import _axis_lerp_coeffs, resize_bilinear
+
+__all__ = ["upsample_argmax"]
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool, transpose: bool):
+    """Dense (out, in) two-tap interpolation matrix (numpy, f32)."""
+    lo, hi, w = _axis_lerp_coeffs(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    idx = np.arange(out_size)
+    np.add.at(m, (idx, lo), 1.0 - w)
+    np.add.at(m, (idx, hi), w)
+    return m.T.copy() if transpose else m
+
+
+def _pick_tile(total: int, target: int = 16) -> int:
+    for t in range(target, 0, -1):
+        if total % t == 0:
+            return t
+    return 1
+
+
+def _xla_reference(logits, out_size, align_corners):
+    up = resize_bilinear(logits.astype(jnp.float32), out_size, align_corners=align_corners)
+    return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+
+def upsample_argmax(
+    logits: jnp.ndarray,
+    out_size: tuple[int, int],
+    align_corners: bool = True,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """``argmax_C(bilinear_resize(logits, out_size))`` for NHWC logits.
+
+    Returns (N, H_out, W_out) int32. Falls back to the XLA path on
+    non-TPU backends or shapes the kernel doesn't tile.
+    """
+    n, h, w, c = logits.shape
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    if use_pallas is None:
+        # Default OFF: measured on v5e (on-device loop timing, batch 16) the
+        # XLA gather-lerp path reaches ~4.5k fps at 1024×2048 while this
+        # kernel's dense interp matmuls cap at ~2.5k — the band-structure
+        # waste on the MXU outweighs the saved HBM traffic at these shapes.
+        # Kept for C ≫ 19 / larger-upsample regimes where the traffic term
+        # dominates, and as the fallback-free fused-mask path.
+        use_pallas = False
+    th = _pick_tile(out_h)
+    # VMEM budget: full input strip + A_H + A_W + f32 expansion buffer.
+    vmem_est = (
+        h * c * w * 2 + out_h * h * 2 + w * out_w * 2 + th * c * out_w * 4 + th * c * w * 4
+    )
+    if not use_pallas or th < 4 or vmem_est > 100 * 2**20 or (h, w) == (out_h, out_w):
+        return _xla_reference(logits, out_size, align_corners)
+
+    from jax.experimental import pallas as pl
+
+    a_h = jnp.asarray(_interp_matrix(h, out_h, align_corners, transpose=False), jnp.bfloat16)
+    a_w = jnp.asarray(_interp_matrix(w, out_w, align_corners, transpose=True), jnp.bfloat16)
+    # (N, h, w, C) → (N, h, C, w) so both kernel reshapes are contiguous.
+    x = jnp.transpose(logits.astype(jnp.bfloat16), (0, 1, 3, 2))
+
+    def kernel(x_ref, ah_ref, aw_ref, out_ref):
+        xm = x_ref[0].reshape(h, c * w)
+        y = jnp.dot(ah_ref[:], xm, preferred_element_type=jnp.float32)  # (th, c*w)
+        y = y.astype(jnp.bfloat16).reshape(th * c, w)
+        z = jnp.dot(y, aw_ref[:], preferred_element_type=jnp.float32)  # (th*c, W)
+        z = z.reshape(th, c, out_w)
+        best = z[:, 0, :]
+        idx = jnp.zeros((th, out_w), jnp.int32)
+        for cls in range(1, c):
+            cur = z[:, cls, :]
+            upd = cur > best
+            best = jnp.where(upd, cur, best)
+            idx = jnp.where(upd, cls, idx)
+        out_ref[0] = idx
+
+    grid = (n, out_h // th)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, c, w), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((th, h), lambda i, j: (j, 0)),
+            pl.BlockSpec((w, out_w), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
+    )(x, a_h, a_w)
