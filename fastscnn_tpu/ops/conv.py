@@ -45,6 +45,12 @@ def conv2d(
     ``groups == in_channels`` with an HWIO weight of shape (kh, kw, 1, C)
     is a depthwise conv (multiplier 1), which is all the reference uses
     (reference:models/fast_scnn.py:70,86).
+
+    Output dtype == input dtype. The TPU MXU accumulates bf16 products in
+    f32 internally regardless, so a bf16-in/bf16-out conv keeps f32
+    accumulation while halving HBM traffic; forcing an f32 output via
+    ``preferred_element_type`` would also break the AD transpose (f32
+    cotangent vs bf16 operand).
     """
     y = lax.conv_general_dilated(
         x,
@@ -53,7 +59,6 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=_DIMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b.astype(y.dtype)

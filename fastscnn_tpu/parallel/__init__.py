@@ -1,0 +1,19 @@
+from fastscnn_tpu.parallel.mesh import make_mesh, batch_sharding, replicate_sharding
+from fastscnn_tpu.parallel.train import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    make_optimizer,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicate_sharding",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "make_optimizer",
+]

@@ -1,0 +1,55 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+over 2-3 GPUs (reference:train.py:170-171, SURVEY §2.9). The TPU-native
+replacement: a ``jax.sharding.Mesh`` over ICI with
+
+- ``data``  axis: batch-sharded data parallelism (gradient psum inserted
+  by XLA; batch-norm moments reduce globally → free sync-BN, an upgrade
+  over DataParallel's per-replica BN), and
+- ``space`` axis (optional): spatial partitioning of the image H axis for
+  very large inputs — XLA SPMD inserts halo exchanges for the convs
+  (SURVEY §5.7's extension axis).
+
+Multi-host extension: call ``jax.distributed.initialize()`` before mesh
+creation and the same code spans slices over DCN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "P"]
+
+
+def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'space') mesh; defaults to all devices on 'data'."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_space
+    devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh, spatial_axis: int | None = None) -> NamedSharding:
+    """NHWC batch sharded over 'data'; optionally H over 'space'."""
+    spec = [None, None, None, None]
+    spec[0] = "data"
+    if spatial_axis is not None and mesh.shape["space"] > 1:
+        spec[spatial_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
+
+
+def label_sharding(mesh: Mesh, spatial_axis: int | None = None) -> NamedSharding:
+    spec = [None, None, None]
+    spec[0] = "data"
+    if spatial_axis is not None and mesh.shape["space"] > 1:
+        spec[spatial_axis] = "space"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
