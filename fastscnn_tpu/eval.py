@@ -1,0 +1,147 @@
+"""Evaluation CLI — port of reference:eval.py.
+
+Full-resolution (``testval``) evaluation at batch size 1 with per-sample
+cumulative pixAcc/mIoU printing and colorized mask dumps to
+``test_result/``. Variable native resolutions are handled with a
+bucket-and-pad policy: images are right/bottom-padded to the next
+multiple of ``--pad-multiple`` so jit recompilation happens per bucket,
+not per image (the pad region is masked out of both metric and dump).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Fast-SCNN TPU evaluation")
+    parser.add_argument("--dataset", type=str, default="citys",
+                        choices=["citys", "tusimple", "bdd100k", "custom"])
+    parser.add_argument("--data-root", type=str, default=None)
+    parser.add_argument("--weights", type=str, default=None,
+                        help=".pth checkpoint (defaults to weights/fast_scnn_<dataset>.pth)")
+    parser.add_argument("--save-folder", type=str, default="./weights")
+    parser.add_argument("--outdir", type=str, default="./test_result")
+    parser.add_argument("--aux", action="store_true", default=False)
+    parser.add_argument("--base-size", type=int, default=1024)
+    parser.add_argument("--crop-size", type=int, default=768)
+    parser.add_argument("--mode", type=str, default="testval", choices=["testval", "val"])
+    parser.add_argument("--pad-multiple", type=int, default=64)
+    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        help="compute dtype for parity (float32) or speed (bfloat16)")
+    return parser.parse_args(argv)
+
+
+_DEFAULT_ROOTS = {
+    "citys": "./datasets/citys",
+    "tusimple": "./manideep1108/tusimple/versions/5/TUSimple",
+    "bdd100k": "./bdd100k",
+    "custom": "./data/custom",
+}
+
+
+class Evaluator:
+    def __init__(self, args):
+        import jax
+
+        from fastscnn_tpu.data import get_segmentation_dataset
+        from fastscnn_tpu.engine.infer import IMAGENET_MEAN, IMAGENET_STD
+        from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+        from fastscnn_tpu.parallel import make_eval_step
+        from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
+        from fastscnn_tpu.utils.metric import SegmentationMetric
+
+        self.args = args
+        root = args.data_root or _DEFAULT_ROOTS[args.dataset]
+        self.dataset = get_segmentation_dataset(
+            args.dataset,
+            root=root,
+            split="val",
+            mode=args.mode,
+            base_size=args.base_size,
+            crop_size=args.crop_size,
+        )
+        self.num_classes = self.dataset.num_class
+        self.model = FastSCNN(num_classes=self.num_classes, aux=args.aux)
+        weights = args.weights or os.path.join(
+            args.save_folder, f"fast_scnn_{args.dataset}.pth"
+        )
+        if os.path.exists(weights):
+            self.params, self.model_state = load_pth_checkpoint(
+                weights, self.num_classes, aux=args.aux or None
+            )
+            print(f"loaded {weights}")
+        else:
+            print(f"warning: {weights} not found, using random init")
+            self.params, self.model_state = init_fast_scnn(
+                jax.random.PRNGKey(0), self.num_classes, args.aux
+            )
+        mean, std = (
+            (IMAGENET_MEAN, IMAGENET_STD)
+            if self.dataset.normalization == "imagenet"
+            else (None, None)
+        )
+        import jax.numpy as jnp
+
+        self.eval_step = make_eval_step(
+            self.model,
+            self.num_classes,
+            compute_dtype=jnp.dtype(args.dtype),
+            mean=mean,
+            std=std,
+        )
+        self.metric = SegmentationMetric(self.num_classes)
+
+    def _pad(self, img: np.ndarray):
+        m = self.args.pad_multiple
+        h, w = img.shape[:2]
+        ph = (h + m - 1) // m * m
+        pw = (w + m - 1) // m * m
+        if (ph, pw) == (h, w):
+            return img, h, w
+        out = np.zeros((ph, pw, 3), img.dtype)
+        out[:h, :w] = img
+        return out, h, w
+
+    def eval(self):
+        import jax.numpy as jnp
+
+        from fastscnn_tpu.utils.visualize import get_color_pallete
+
+        args = self.args
+        os.makedirs(args.outdir, exist_ok=True)
+        n = len(self.dataset)
+        if args.max_images:
+            n = min(n, args.max_images)
+        for i in range(n):
+            img, mask = self.dataset[i]
+            padded, h, w = self._pad(img)
+            # pad target with ignore so the pad region never counts
+            tgt = np.full(padded.shape[:2], -1, np.int32)
+            tgt[:h, :w] = mask
+            pred, _ = self.eval_step(
+                self.params, self.model_state, jnp.asarray(padded[None]), jnp.asarray(tgt[None])
+            )
+            pred = np.asarray(pred)[0, :h, :w]
+            self.metric.update(pred, np.asarray(mask))
+            pix_acc, miou = self.metric.get()
+            print(f"sample {i + 1}: pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
+            get_color_pallete(pred, args.dataset).save(
+                os.path.join(args.outdir, f"seg_{i}.png")
+            )
+        return self.metric.get()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    evaluator = Evaluator(args)
+    pix_acc, miou = evaluator.eval()
+    print(f"FINAL pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,10 @@ def batch_norm_train(
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     batch_mean = jnp.mean(xf, axis=axes)
-    batch_var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(batch_mean)
+    # Two-pass variance: E[(x-μ)²]. The one-pass E[x²]-μ² form loses to
+    # catastrophic cancellation once activations grow (negative variance →
+    # rsqrt → NaN), which torch's batch_norm never exhibits.
+    batch_var = jnp.mean(jnp.square(xf - batch_mean), axis=axes)
     n = 1
     for a in axes:
         n *= x.shape[a]

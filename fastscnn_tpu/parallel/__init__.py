@@ -1,4 +1,4 @@
-from fastscnn_tpu.parallel.mesh import make_mesh, batch_sharding, replicate_sharding
+from fastscnn_tpu.parallel.mesh import make_mesh, make_mesh_for_batch, batch_sharding, replicate_sharding
 from fastscnn_tpu.parallel.train import (
     TrainState,
     create_train_state,
@@ -9,6 +9,7 @@ from fastscnn_tpu.parallel.train import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_for_batch",
     "batch_sharding",
     "replicate_sharding",
     "TrainState",

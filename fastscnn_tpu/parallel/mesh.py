@@ -34,6 +34,17 @@ def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh
     return Mesh(devs, ("data", "space"))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data-parallel mesh using the most devices that evenly divide the
+    global batch (a 2-image batch on an 8-device host uses 2 devices)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh, spatial_axis: int | None = None) -> NamedSharding:
     """NHWC batch sharded over 'data'; optionally H over 'space'."""
     spec = [None, None, None, None]

@@ -1,0 +1,282 @@
+"""Training CLI — TPU-native port of reference:train.py.
+
+Same user surface (flag names, defaults, checkpoint layout, validation
+cadence, best-model selection) with a TPU-first execution model: one
+jitted sharded train step (bf16 compute, f32 master weights, sync-BN,
+gradient psum over the 'data' mesh axis), uint8 host→device transfer
+with on-device normalization, per-iteration poly LR inside the step.
+
+Usage::
+
+    python -m fastscnn_tpu.train --dataset citys --base-size 1024 \
+        --crop-size 768 --epochs 160 --batch-size 16 --loss-type ce
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    """Flag set mirroring reference:train.py:21-97 (plus bdd100k/custom
+    passthroughs)."""
+    parser = argparse.ArgumentParser(description="Fast-SCNN on TPU (JAX)")
+    parser.add_argument("--model", type=str, default="fast_scnn")
+    parser.add_argument("--dataset", type=str, default="citys",
+                        choices=["citys", "tusimple", "bdd100k", "custom"])
+    parser.add_argument("--data-root", type=str, default=None, help="dataset root folder")
+    parser.add_argument("--base-size", type=int, default=1024)
+    parser.add_argument("--crop-size", type=int, default=768)
+    parser.add_argument("--train-split", type=str, default="train")
+    parser.add_argument("--aux", action="store_true", default=False)
+    parser.add_argument("--aux-weight", type=float, default=0.4)
+    parser.add_argument("--epochs", type=int, default=160)
+    parser.add_argument("--start_epoch", type=int, default=0)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight-decay", type=float, default=1e-4)
+    parser.add_argument("--optimizer", type=str, default="sgd", choices=["sgd", "adamw"])
+    parser.add_argument("--loss-type", type=str, default="dice",
+                        choices=["dice", "focal_dice", "ce", "ce_plain"])
+    parser.add_argument("--fp16", action="store_true", default=True,
+                        help="bf16 compute on TPU (kept for flag parity)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help=".pth (weights) or .npz (full state) checkpoint")
+    parser.add_argument("--save-folder", type=str, default="./weights")
+    parser.add_argument("--eval", action="store_true", default=False)
+    parser.add_argument("--no-val", action="store_true", default=False)
+    parser.add_argument("--val-epoch", type=int, default=1, help="validate every N epochs")
+    parser.add_argument("--save-epoch", type=int, default=10)
+    parser.add_argument("--print-interval", type=int, default=10)
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=0)
+    # bdd100k extras (reference:train_bdd100k.py)
+    parser.add_argument("--subset", type=str, default="100k")
+    parser.add_argument("--label-type", type=str, default="binary")
+    parser.add_argument("--sample-ratio", type=float, default=1.0)
+    parser.add_argument("--max-samples", type=int, default=None)
+    parser.add_argument("--keep-original-size", action="store_true", default=False)
+    parser.add_argument("--multi-scale", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+_DEFAULT_ROOTS = {
+    "citys": "./datasets/citys",
+    "tusimple": "./manideep1108/tusimple/versions/5/TUSimple",
+    "bdd100k": "./bdd100k",
+    "custom": "./data/custom",
+}
+
+
+class Trainer:
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from fastscnn_tpu.data import DataLoader, get_segmentation_dataset
+        from fastscnn_tpu.engine.infer import IMAGENET_MEAN, IMAGENET_STD
+        from fastscnn_tpu.losses import get_loss_fn
+        from fastscnn_tpu.models import FastSCNN
+        from fastscnn_tpu.parallel import (
+            create_train_state,
+            make_eval_step,
+            make_mesh_for_batch,
+            make_optimizer,
+            make_train_step,
+        )
+        from fastscnn_tpu.utils import lr_schedule
+        from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint, load_train_state
+        from fastscnn_tpu.utils.monitor import TrainingMonitor
+
+        self.args = args
+        root = args.data_root or _DEFAULT_ROOTS[args.dataset]
+        ds_kwargs = dict(root=root, base_size=args.base_size, crop_size=args.crop_size)
+        if args.dataset == "bdd100k":
+            ds_kwargs.update(
+                subset=args.subset,
+                label_type=args.label_type,
+                sample_ratio=args.sample_ratio,
+                max_samples=args.max_samples,
+                keep_original_size=args.keep_original_size,
+                multi_scale=args.multi_scale,
+            )
+        self.train_ds = get_segmentation_dataset(
+            args.dataset, split=args.train_split, mode="train", **ds_kwargs
+        )
+        self.val_ds = None
+        if not args.no_val:
+            self.val_ds = get_segmentation_dataset(
+                args.dataset, split="val", mode="val", **ds_kwargs
+            )
+        self.train_loader = DataLoader(
+            self.train_ds,
+            batch_size=args.batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=args.num_workers,
+            seed=args.seed,
+        )
+        self.num_classes = self.train_ds.num_class
+
+        if self.train_ds.normalization == "imagenet":
+            mean, std = IMAGENET_MEAN, IMAGENET_STD
+        else:
+            mean, std = None, None
+
+        self.model = FastSCNN(num_classes=self.num_classes, aux=args.aux)
+        self.iters_per_epoch = max(len(self.train_ds) // args.batch_size, 1)
+        schedule = lr_schedule(
+            "poly",
+            base_lr=args.lr,
+            nepochs=args.epochs,
+            iters_per_epoch=self.iters_per_epoch,
+            power=0.9,
+        )
+        self.schedule = schedule
+        optimizer = make_optimizer(
+            args.optimizer, schedule, momentum=args.momentum, weight_decay=args.weight_decay
+        )
+        self.mesh = make_mesh_for_batch(args.batch_size)
+        self.state = create_train_state(
+            self.model, optimizer, key=jax.random.PRNGKey(args.seed)
+        )
+        if args.resume:
+            if args.resume.endswith(".npz"):
+                self.state = load_train_state(args.resume, self.state)
+                print(f"resumed full train state from {args.resume} (step {int(self.state.step)})")
+            else:
+                params, mstate = load_pth_checkpoint(
+                    args.resume, self.num_classes, aux=args.aux or None,
+                    allow_shape_mismatch=True,
+                )
+                self.state = create_train_state(
+                    self.model, optimizer, params=params, model_state=mstate
+                )
+                print(f"resumed weights from {args.resume}")
+
+        loss_fn = get_loss_fn(
+            args.loss_type,
+            aux=args.aux,
+            aux_weight=args.aux_weight,
+            num_classes=self.num_classes,
+        )
+        self.train_step = make_train_step(
+            self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std
+        )
+        self.eval_step = make_eval_step(
+            self.model, self.num_classes, mesh=None, mean=mean, std=std
+        )
+        os.makedirs("logs", exist_ok=True)
+        self.monitor = TrainingMonitor(
+            f"logs/training_log_{args.dataset}.json",
+            experiment_name=f"fast_scnn_{args.dataset}",
+        )
+        self._rng_key = jax.random.PRNGKey(args.seed + 1)
+
+    # -- loops ---------------------------------------------------------------
+    def train(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fastscnn_tpu.utils.checkpoint import save_pth_checkpoint, save_train_state
+
+        args = self.args
+        best = -1.0
+        for epoch in range(args.start_epoch, args.epochs):
+            epoch_losses = []
+            t_epoch = time.time()
+            t_data = 0.0
+            t_last = time.time()
+            for it, (images, targets) in enumerate(self.train_loader):
+                t_data += time.time() - t_last
+                self._rng_key, step_key = jax.random.split(self._rng_key)
+                self.state, metrics = self.train_step(
+                    self.state, jnp.asarray(images), jnp.asarray(targets), step_key
+                )
+                if (it + 1) % args.print_interval == 0:
+                    loss = float(metrics["loss"])
+                    epoch_losses.append(loss)
+                    done = time.time() - t_epoch
+                    sps = (it + 1) * args.batch_size / done
+                    lr_now = float(self.schedule(int(self.state.step)))
+                    print(
+                        f"epoch {epoch} iter {it + 1}/{self.iters_per_epoch} "
+                        f"loss {loss:.4f} lr {lr_now:.5f} {sps:.1f} samples/s "
+                        f"(data {t_data / (it + 1) * 1e3:.0f} ms/iter)"
+                    )
+                t_last = time.time()
+            epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else float(metrics["loss"])
+            sps = self.iters_per_epoch * args.batch_size / (time.time() - t_epoch)
+
+            pix_acc = miou = None
+            if self.val_ds is not None and (epoch + 1) % args.val_epoch == 0:
+                pix_acc, miou = self.validation()
+                print(f"epoch {epoch}: val pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
+            is_best = self.monitor.log_epoch(
+                epoch,
+                epoch_loss,
+                float(self.schedule(int(self.state.step))),
+                pix_acc=pix_acc,
+                miou=miou,
+                samples_per_sec=sps,
+            )
+            if is_best or (epoch + 1) % args.save_epoch == 0 or epoch == args.epochs - 1:
+                self.save_checkpoint(is_best)
+        self.monitor.plot_curves()
+        print(self.monitor.report())
+        return self.state
+
+    def validation(self, max_batches: int | None = None):
+        import jax.numpy as jnp
+
+        from fastscnn_tpu.data import DataLoader
+        from fastscnn_tpu.utils.metric import seg_scores_from_hist
+
+        loader = DataLoader(self.val_ds, batch_size=1, num_workers=self.args.num_workers)
+        totals = None
+        for i, (images, targets) in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            _, stats = self.eval_step(
+                self.state.params, self.state.model_state, jnp.asarray(images), jnp.asarray(targets)
+            )
+            stats = [np.asarray(s, np.int64) for s in stats]
+            totals = stats if totals is None else [a + b for a, b in zip(totals, stats)]
+        if totals is None:
+            return 0.0, 0.0
+        return seg_scores_from_hist(*totals)
+
+    def save_checkpoint(self, is_best=False):
+        from fastscnn_tpu.utils.checkpoint import save_pth_checkpoint, save_train_state
+
+        args = self.args
+        path = save_pth_checkpoint(
+            self.state.params,
+            self.state.model_state,
+            args.save_folder,
+            dataset=args.dataset,
+            is_best=is_best,
+        )
+        save_train_state(
+            self.state, os.path.join(args.save_folder, f"train_state_{args.dataset}.npz")
+        )
+        return path
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    trainer = Trainer(args)
+    if args.eval:
+        pix_acc, miou = trainer.validation()
+        print(f"val pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
+        return
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
