@@ -1,0 +1,119 @@
+"""Export CLI — port of reference:export_onnx_fixed.py's user surface.
+
+Builds the end-to-end graph (on-graph preprocessing: resize to the
+internal resolution, /255 scaling, optional ImageNet normalize; network
+on BN-folded weights; softmax or argmax postprocessing resized back) and
+serializes it as a StableHLO artifact, then smoke-tests the artifact and
+reports mask agreement against the in-process engine — the equivalent of
+the reference's export → onnxsim → ORT-test flow
+(reference:export_onnx_fixed.py:260-443).
+
+Usage::
+
+    python -m fastscnn_tpu.export_model --dataset custom \
+        --weights weights/fast_scnn_custom.pth \
+        --input-width 640 --input-height 360 --internal-size 1024 \
+        --output exports/fast_scnn_e2e.stablehlo
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Fast-SCNN TPU E2E export (StableHLO)")
+    parser.add_argument("--dataset", type=str, default="custom",
+                        choices=["citys", "tusimple", "bdd100k", "custom"])
+    parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--aux", action="store_true", default=False)
+    parser.add_argument("--input-width", type=int, default=640)
+    parser.add_argument("--input-height", type=int, default=360)
+    parser.add_argument("--internal-size", type=int, default=1024,
+                        help="square internal backbone resolution (0 = native)")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--softmax", action="store_true", default=True,
+                        help="emit class probabilities (reference E2E default)")
+    parser.add_argument("--argmax", dest="softmax", action="store_false",
+                        help="emit argmax mask instead of probabilities")
+    parser.add_argument("--normalize", action="store_true", default=False,
+                        help="apply ImageNet mean/std (reference default: off for custom)")
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--output", type=str, default="exports/fast_scnn_e2e.stablehlo")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.engine import E2EConfig, IMAGENET_MEAN, IMAGENET_STD, InferenceEngine
+    from fastscnn_tpu.engine.export import export_stablehlo, load_exported
+    from fastscnn_tpu.models import DATASET_NUM_CLASSES, FastSCNN, init_fast_scnn
+    from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
+
+    num_classes = DATASET_NUM_CLASSES[args.dataset]
+    model = FastSCNN(num_classes=num_classes, aux=args.aux)
+    if args.weights and os.path.exists(args.weights):
+        params, state = load_pth_checkpoint(args.weights, num_classes, aux=args.aux or None)
+        print(f"loaded {args.weights}")
+    else:
+        print("warning: no weights provided/found, exporting random init")
+        params, state = init_fast_scnn(jax.random.PRNGKey(0), num_classes, args.aux)
+
+    internal = (args.internal_size, args.internal_size) if args.internal_size else None
+    mean, std = (IMAGENET_MEAN, IMAGENET_STD) if args.normalize else (None, None)
+    engine = InferenceEngine(
+        model,
+        params,
+        state,
+        config=E2EConfig(
+            internal_size=internal,
+            mean=mean,
+            std=std,
+            softmax=args.softmax,
+            compute_dtype=args.dtype,
+        ),
+    )
+    shape = (args.batch, args.input_height, args.input_width, 3)
+    fn = engine.predict_fn(shape)
+
+    # forward-pass test before export (reference:export_onnx_fixed.py:260-307)
+    rng = np.random.default_rng(0)
+    test_in = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref_out = np.asarray(fn(test_in))
+    print(f"forward test ok: output {ref_out.shape} {ref_out.dtype}")
+
+    path = export_stablehlo(
+        fn,
+        [jax.ShapeDtypeStruct(shape, jnp.uint8)],
+        args.output,
+        metadata={
+            "dataset": args.dataset,
+            "num_classes": num_classes,
+            "internal_size": args.internal_size,
+            "softmax": args.softmax,
+            "normalize": args.normalize,
+            "compute_dtype": args.dtype,
+        },
+    )
+    print(f"exported {path} ({os.path.getsize(path)} bytes)")
+
+    # artifact smoke test (the ORT-test equivalent)
+    loaded = load_exported(path)
+    out = np.asarray(loaded(test_in))
+    if args.softmax:
+        agree = float((out.argmax(-1) == ref_out.argmax(-1)).mean())
+    else:
+        agree = float((out == ref_out).mean())
+    print(f"artifact parity vs in-process engine: {agree * 100:.3f}% pixels agree")
+    assert agree > 0.999, "exported artifact diverges from the engine"
+    return path
+
+
+if __name__ == "__main__":
+    main()
