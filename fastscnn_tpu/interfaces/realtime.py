@@ -1,0 +1,225 @@
+"""Realtime autonomous perception loop.
+
+Port of reference:kuruma/interfaces/realtime.py:54-460 (and the queued
+multithread variant reference:lane_dashboard.py:185-649): a camera loop
+runs preprocess → infer → postprocess → BEV → plan → control per frame,
+optionally driving the serial car controller, sharing state with the web
+dashboard under a lock, honoring hot parameter updates and the emergency
+stop, and warning-but-continuing on camera read failures.
+
+Camera access is abstracted behind ``FrameSource`` so tests (and
+machines without V4L2) use ``SyntheticCamera`` — the same seam the
+reference uses for its fake-Atlas tests (reference:test_atlas_inference.py).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from fastscnn_tpu.control import VisualLateralErrorController
+from fastscnn_tpu.perception import PerspectiveTransformer
+from fastscnn_tpu.pipeline import inference_single_image
+from fastscnn_tpu.utils.profiling import PerfTimer
+
+__all__ = ["FrameSource", "OpenCVCamera", "SyntheticCamera", "RealtimePipeline"]
+
+
+class FrameSource:
+    """Minimal camera interface: ``read() -> (ok, bgr_frame)``."""
+
+    def read(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def release(self):
+        pass
+
+
+class OpenCVCamera(FrameSource):
+    """V4L2 camera at 640×360@30 with BUFFERSIZE=1
+    (reference:kuruma/interfaces/realtime.py:115-131)."""
+
+    def __init__(self, index=0, width=640, height=360, fps=30):
+        import cv2
+
+        self.cap = cv2.VideoCapture(index)
+        self.cap.set(cv2.CAP_PROP_FRAME_WIDTH, width)
+        self.cap.set(cv2.CAP_PROP_FRAME_HEIGHT, height)
+        self.cap.set(cv2.CAP_PROP_FPS, fps)
+        self.cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
+
+    def read(self):
+        return self.cap.read()
+
+    def release(self):
+        self.cap.release()
+
+
+class SyntheticCamera(FrameSource):
+    """Deterministic synthetic road frames for hardware-free runs."""
+
+    def __init__(self, width=640, height=360, n_frames=None, fail_every=None):
+        self.width = width
+        self.height = height
+        self.n_frames = n_frames
+        self.fail_every = fail_every
+        self.i = 0
+
+    def read(self):
+        self.i += 1
+        if self.n_frames is not None and self.i > self.n_frames:
+            return False, None
+        if self.fail_every and self.i % self.fail_every == 0:
+            return False, None
+        frame = np.zeros((self.height, self.width, 3), np.uint8)
+        # moving road band
+        for y in range(self.height):
+            cx = int(self.width / 2 + 60 * np.sin((y + 5 * self.i) / 80.0))
+            frame[y, max(0, cx - 80) : min(self.width, cx + 80)] = (60, 60, 60)
+        return True, frame
+
+
+class RealtimePipeline:
+    """The per-frame loop + shared state for the dashboard."""
+
+    def __init__(
+        self,
+        session,
+        camera: FrameSource,
+        controller: VisualLateralErrorController | None = None,
+        car=None,
+        edge_computing: bool = True,
+        pixels_per_unit: int = 20,
+        target_fps: float = 30.0,
+    ):
+        self.session = session
+        self.camera = camera
+        self.controller = controller or VisualLateralErrorController()
+        self.car = car  # SimpleCarController or None
+        self.transformer = PerspectiveTransformer()
+        self.edge_computing = edge_computing
+        self.pixels_per_unit = pixels_per_unit
+        self.target_fps = target_fps
+
+        self.web_data: dict = {"frame_count": 0, "fps": 0.0}
+        self.web_data_lock = threading.Lock()
+        self.params_lock = threading.Lock()
+        self.pending_params: dict = {}
+        self.driving_enabled = False
+        self.emergency_stopped = False
+        self.running = False
+        self._thread: threading.Thread | None = None
+        self.frame_count = 0
+        self.camera_failures = 0
+
+    # -- control API (called by the web layer) -------------------------------
+    def update_params(self, params: dict):
+        """Queue hot parameter updates (reference:web_interface.py:743-779)."""
+        with self.params_lock:
+            self.pending_params.update(params)
+
+    def start_driving(self):
+        self.emergency_stopped = False
+        self.driving_enabled = True
+        self.controller.reset_ema_state()
+
+    def emergency_stop(self):
+        """reference:web_interface.py:895-916 + controller EMA reset."""
+        self.emergency_stopped = True
+        self.driving_enabled = False
+        if self.car is not None:
+            self.car.stop()
+        self.controller.reset_ema_state()
+
+    def get_stats(self) -> dict:
+        with self.web_data_lock:
+            return dict(self.web_data)
+
+    # -- loop ----------------------------------------------------------------
+    def _apply_pending_params(self):
+        with self.params_lock:
+            params, self.pending_params = self.pending_params, {}
+        for key, value in params.items():
+            if key in ("steering_gain", "base_pwm", "curvature_damping", "preview_distance"):
+                setattr(self.controller, key, float(value))
+            elif key == "ema_alpha":
+                self.controller.update_smoothing_params(ema_alpha=float(value))
+            elif key == "enable_smoothing":
+                self.controller.update_smoothing_params(enable_smoothing=bool(value))
+            elif key == "pixels_per_unit":
+                self.pixels_per_unit = int(value)
+
+    def step(self) -> bool:
+        """One loop iteration; returns False when the source is exhausted."""
+        self._apply_pending_params()
+        ok, frame = self.camera.read()
+        if not ok:
+            if self.camera is not None and getattr(self.camera, "n_frames", None) is not None:
+                if self.camera.i > self.camera.n_frames:
+                    return False
+            self.camera_failures += 1
+            time.sleep(0.01)
+            return True
+        t0 = time.perf_counter()
+        result = inference_single_image(
+            frame,
+            self.session,
+            bird_eye=True,
+            save_control_map=True,
+            enable_control=True,
+            controller=self.controller,
+            transformer=self.transformer,
+            pixels_per_unit=self.pixels_per_unit,
+            edge_computing=self.edge_computing,
+        )
+        dt = time.perf_counter() - t0
+        self.frame_count += 1
+
+        control = result.get("control_result")
+        if control and self.driving_enabled and not self.emergency_stopped and self.car is not None:
+            self.car.set_wheel_speeds(int(control["pwm_left"]), int(control["pwm_right"]))
+
+        with self.web_data_lock:
+            self.web_data.update(
+                frame_count=self.frame_count,
+                fps=1.0 / dt if dt > 0 else 0.0,
+                frame_time_ms=dt * 1e3,
+                camera_failures=self.camera_failures,
+                driving_enabled=self.driving_enabled,
+                emergency_stopped=self.emergency_stopped,
+                lateral_error=control["lateral_error"] if control else None,
+                pwm_left=control["pwm_left"] if control else 0,
+                pwm_right=control["pwm_right"] if control else 0,
+                turn_direction=control["turn_direction"] if control else "straight",
+            )
+            self.web_data["control_map"] = result.get("control_map")
+            self.web_data["visualization"] = result.get("visualization")
+        return True
+
+    def run(self, max_frames: int | None = None):
+        self.running = True
+        n = 0
+        try:
+            while self.running:
+                if not self.step():
+                    break
+                n += 1
+                if max_frames is not None and n >= max_frames:
+                    break
+        finally:
+            self.running = False
+            if self.car is not None:
+                self.car.stop()
+            self.camera.release()
+
+    def start_background(self, max_frames=None):
+        self._thread = threading.Thread(target=self.run, args=(max_frames,), daemon=True)
+        self._thread.start()
+        return self._thread
+
+    def stop(self):
+        self.running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)

@@ -1,0 +1,163 @@
+"""Pipeline + realtime loop + web dashboard tests, using the fake-backend
+pattern of reference:test_atlas_inference.py (a duck-typed .infer()
+session) so no accelerator or camera is needed."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fastscnn_tpu.interfaces import DashboardServer, RealtimePipeline, SyntheticCamera
+from fastscnn_tpu.pipeline import inference_single_image
+from fastscnn_tpu.serialbridge import SimpleCarController
+
+
+class FakeRoadSession:
+    """Emits logits whose argmax is a curvy drivable band."""
+
+    def infer(self, feeds):
+        tensor = feeds[0]  # (1, 3, H, W)
+        _, _, h, w = tensor.shape
+        logits = np.zeros((1, 2, h, w), np.float32)
+        ys = np.arange(h)[:, None]
+        xs = np.arange(w)[None, :]
+        cx = w / 2 + 40 * np.sin(ys / 60.0)
+        band = np.abs(xs - cx) < 70
+        logits[0, 1] = np.where(band, 5.0, -5.0)
+        return [logits]
+
+
+@pytest.fixture
+def frame():
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (360, 640, 3), dtype=np.uint8)
+
+
+def test_single_image_pipeline(frame, tmp_path):
+    result = inference_single_image(
+        frame,
+        FakeRoadSession(),
+        output_dir=str(tmp_path),
+        basename="t",
+        edge_computing=True,
+    )
+    assert result["mask"].shape == (360, 640)
+    assert set(np.unique(result["mask"])).issubset({0, 255})
+    assert result["path_data"]["num_waypoints"] == 20
+    cr = result["control_result"]
+    assert -1000 <= cr["pwm_left"] <= 1000
+    assert -1000 <= cr["pwm_right"] <= 1000
+    # artifacts saved
+    assert (tmp_path / "t_mask.png").exists()
+    assert (tmp_path / "t_control_map.jpg").exists()
+    assert json.loads((tmp_path / "t_path_data.json").read_text())["num_waypoints"] == 20
+    # perf report has all stages
+    report = result["perf"].report()
+    for stage in ("preprocess", "inference", "postprocess", "bird_eye_transform",
+                  "path_planning", "control"):
+        assert stage in report
+
+
+def test_realtime_pipeline_with_car(frame):
+    sent = []
+
+    class FakeTransport:
+        def send_speeds(self, l, r):
+            sent.append((l, r))
+
+    car = SimpleCarController(transport=FakeTransport())
+    pipeline = RealtimePipeline(
+        FakeRoadSession(), SyntheticCamera(n_frames=5), car=car, edge_computing=True
+    )
+    pipeline.start_driving()
+    pipeline.run(max_frames=5)
+    assert pipeline.frame_count == 5
+    # driving enabled → PWM commands flowed to the car, final stop() sent
+    assert len(sent) >= 1
+    assert sent[-1] == (0, 0)
+    stats = pipeline.get_stats()
+    assert stats["frame_count"] == 5
+    assert stats["fps"] > 0
+
+
+def test_realtime_emergency_stop_blocks_driving():
+    sent = []
+
+    class FakeTransport:
+        def send_speeds(self, l, r):
+            sent.append((l, r))
+
+    car = SimpleCarController(transport=FakeTransport())
+    pipeline = RealtimePipeline(
+        FakeRoadSession(), SyntheticCamera(n_frames=4), car=car, edge_computing=True
+    )
+    pipeline.start_driving()
+    pipeline.emergency_stop()
+    sent_before = len(sent)
+    pipeline.run(max_frames=3)
+    # only the stop commands — no drive commands while e-stopped
+    drive_cmds = [s for s in sent[sent_before:] if s != (0, 0)]
+    assert not drive_cmds
+
+
+def test_camera_failure_resilience():
+    pipeline = RealtimePipeline(
+        FakeRoadSession(), SyntheticCamera(n_frames=8, fail_every=3), edge_computing=True
+    )
+    pipeline.run(max_frames=8)
+    assert pipeline.camera_failures >= 2
+    assert pipeline.frame_count >= 4  # kept going
+
+
+def test_web_dashboard_api():
+    pipeline = RealtimePipeline(FakeRoadSession(), SyntheticCamera(), edge_computing=True)
+    server = DashboardServer(pipeline, host="127.0.0.1", port=0)
+    port = server.start()
+    pipeline.start_background(max_frames=50)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            stats = json.loads(urllib.request.urlopen(f"{base}/api/stats", timeout=5).read())
+            if stats.get("frame_count", 0) >= 2:
+                break
+            time.sleep(0.2)
+        assert stats["frame_count"] >= 2
+
+        # root page serves the dashboard
+        html = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
+        assert "dashboard" in html
+
+        # hot param update reaches the controller
+        req = urllib.request.Request(
+            f"{base}/api/update_params",
+            data=json.dumps({"steering_gain": 72.5, "ema_alpha": 0.9}).encode(),
+            method="POST",
+        )
+        assert json.loads(urllib.request.urlopen(req, timeout=5).read())["status"] == "ok"
+        deadline = time.time() + 10
+        while time.time() < deadline and pipeline.controller.steering_gain != 72.5:
+            time.sleep(0.1)
+        assert pipeline.controller.steering_gain == 72.5
+        assert pipeline.controller.ema_alpha == 0.9
+
+        # start driving then e-stop via the API
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/api/start_driving", method="POST"), timeout=5
+        )
+        assert pipeline.driving_enabled
+        urllib.request.urlopen(
+            urllib.request.Request(f"{base}/api/emergency_stop", method="POST"), timeout=5
+        )
+        assert pipeline.emergency_stopped and not pipeline.driving_enabled
+
+        status = json.loads(
+            urllib.request.urlopen(f"{base}/api/control_status", timeout=5).read()
+        )
+        assert status["emergency_stopped"] is True
+        assert status["steering_gain"] == 72.5
+    finally:
+        pipeline.stop()
+        server.stop()
