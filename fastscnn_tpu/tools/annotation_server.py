@@ -1,0 +1,227 @@
+"""Web annotation server — mask painting in the browser.
+
+Port of the Flask annotation servers (reference:web_annotation_server.py,
+reference:improved_web_annotation.py, reference:web_annotation_simple.py)
+on the standard library: serves images from ``--images-dir`` one at a
+time with an HTML5 canvas (pen/eraser, brush size, undo via client-side
+history — iPad/Pencil friendly like the reference's
+start_web_annotation.py notes), and saves painted masks as binary PNGs
+into ``--masks-dir``.
+
+Routes:
+  GET  /                 annotation UI
+  GET  /api/images       list of images + which already have masks
+  GET  /image/<name>     raw image bytes
+  POST /api/save_mask    {"name": ..., "mask_png_base64": ...}
+
+Usage::
+
+    python -m fastscnn_tpu.tools.annotation_server \
+        --images-dir data/custom/images --masks-dir data/custom/masks
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["AnnotationServer", "save_mask_from_base64"]
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>mask annotation</title>
+<style>
+ body { font-family: sans-serif; margin: 1em; background:#222; color:#eee; }
+ #wrap { position: relative; display:inline-block; }
+ #photo, #paint { position:absolute; left:0; top:0; }
+ #wrap, #photo, #paint { touch-action: none; }
+ #paint { opacity: 0.5; }
+ button, select { margin:0.2em; padding:0.4em 0.8em; }
+</style></head><body>
+<h3>mask annotation <span id="status"></span></h3>
+<div>
+ <select id="files"></select>
+ <button onclick="loadSelected()">Load</button>
+ <button onclick="setMode('pen')">Pen</button>
+ <button onclick="setMode('eraser')">Eraser</button>
+ size <input id="size" type="range" min="2" max="80" value="24">
+ <button onclick="undo()">Undo</button>
+ <button onclick="clearMask()">Clear</button>
+ <button onclick="save()">Save mask</button>
+</div>
+<div id="wrap">
+ <img id="photo">
+ <canvas id="paint"></canvas>
+</div>
+<script>
+let mode='pen', drawing=false, history=[], current=null;
+const paint=document.getElementById('paint'), ctx=paint.getContext('2d');
+function setMode(m){ mode=m; }
+async function refresh(){
+  const files=await (await fetch('/api/images')).json();
+  const sel=document.getElementById('files'); sel.innerHTML='';
+  for(const f of files){
+    const o=document.createElement('option'); o.value=f.name;
+    o.text=f.name + (f.has_mask?' [done]':''); sel.add(o);
+  }
+}
+function loadSelected(){
+  current=document.getElementById('files').value;
+  const img=document.getElementById('photo');
+  img.onload=()=>{ paint.width=img.naturalWidth; paint.height=img.naturalHeight;
+    document.getElementById('wrap').style.width=img.naturalWidth+'px';
+    document.getElementById('wrap').style.height=img.naturalHeight+'px';
+    img.style.position='static'; ctx.clearRect(0,0,paint.width,paint.height); history=[]; };
+  img.src='/image/'+current;
+}
+function pos(e){
+  const r=paint.getBoundingClientRect();
+  const t=e.touches?e.touches[0]:e;
+  return [t.clientX-r.left, t.clientY-r.top];
+}
+function stroke(e){
+  if(!drawing) return;
+  const [x,y]=pos(e);
+  ctx.globalCompositeOperation = mode==='pen' ? 'source-over':'destination-out';
+  ctx.fillStyle='red';
+  ctx.beginPath(); ctx.arc(x,y,document.getElementById('size').value/2,0,7); ctx.fill();
+  e.preventDefault();
+}
+for(const ev of ['pointerdown']) paint.addEventListener(ev, e=>{
+  history.push(ctx.getImageData(0,0,paint.width,paint.height));
+  drawing=true; stroke(e);});
+for(const ev of ['pointermove']) paint.addEventListener(ev, stroke);
+for(const ev of ['pointerup','pointerleave']) paint.addEventListener(ev, ()=>drawing=false);
+function undo(){ if(history.length) ctx.putImageData(history.pop(),0,0); }
+function clearMask(){ ctx.clearRect(0,0,paint.width,paint.height); }
+async function save(){
+  if(!current) return;
+  const r=await fetch('/api/save_mask',{method:'POST',body:JSON.stringify(
+    {name:current, mask_png_base64:paint.toDataURL('image/png').split(',')[1]})});
+  document.getElementById('status').innerText=(await r.json()).status;
+  refresh();
+}
+refresh();
+</script></body></html>
+"""
+
+
+def save_mask_from_base64(png_b64: str, out_path: str) -> int:
+    """Decode the painted RGBA canvas → binary (0/255) mask PNG. Any pixel
+    with alpha > 0 counts as foreground. Returns foreground pixel count."""
+    raw = base64.b64decode(png_b64)
+    img = Image.open(io.BytesIO(raw)).convert("RGBA")
+    alpha = np.asarray(img)[:, :, 3]
+    mask = np.where(alpha > 0, 255, 0).astype(np.uint8)
+    Image.fromarray(mask).save(out_path)
+    return int((mask > 0).sum())
+
+
+class AnnotationServer:
+    def __init__(self, images_dir: str, masks_dir: str, host="0.0.0.0", port=8080):
+        self.images_dir = images_dir
+        self.masks_dir = masks_dir
+        self.host = host
+        self.port = port
+        os.makedirs(masks_dir, exist_ok=True)
+        self.httpd = None
+        self._thread = None
+
+    def _handler(server_self):
+        images_dir, masks_dir = server_self.images_dir, server_self.masks_dir
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, data, ctype, code=200):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/":
+                    self._send(_PAGE.encode(), "text/html")
+                elif self.path == "/api/images":
+                    files = []
+                    for f in sorted(os.listdir(images_dir)):
+                        if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                            base = os.path.splitext(f)[0]
+                            files.append(
+                                {
+                                    "name": f,
+                                    "has_mask": os.path.exists(
+                                        os.path.join(masks_dir, base + ".png")
+                                    ),
+                                }
+                            )
+                    self._send(json.dumps(files).encode(), "application/json")
+                elif self.path.startswith("/image/"):
+                    name = os.path.basename(self.path[len("/image/") :])
+                    path = os.path.join(images_dir, name)
+                    if os.path.exists(path):
+                        ctype = "image/png" if name.endswith(".png") else "image/jpeg"
+                        self._send(open(path, "rb").read(), ctype)
+                    else:
+                        self._send(b"{}", "application/json", 404)
+                else:
+                    self._send(b"{}", "application/json", 404)
+
+            def do_POST(self):
+                if self.path != "/api/save_mask":
+                    self._send(b"{}", "application/json", 404)
+                    return
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                payload = json.loads(self.rfile.read(length))
+                name = os.path.basename(payload["name"])
+                base = os.path.splitext(name)[0]
+                out = os.path.join(masks_dir, base + ".png")
+                n = save_mask_from_base64(payload["mask_png_base64"], out)
+                self._send(
+                    json.dumps({"status": f"saved {base}.png ({n} px)"}).encode(),
+                    "application/json",
+                )
+
+        return Handler
+
+    def start(self):
+        self.httpd = ThreadingHTTPServer((self.host, self.port), self._handler())
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self):
+        if self.httpd:
+            self.httpd.shutdown()
+            self.httpd.server_close()
+            self.httpd = None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="web annotation server")
+    parser.add_argument("--images-dir", required=True)
+    parser.add_argument("--masks-dir", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    args = parser.parse_args(argv)
+    server = AnnotationServer(args.images_dir, args.masks_dir, args.host, args.port)
+    port = server.start()
+    print(f"annotation server at http://{args.host}:{port}/ (Ctrl-C to stop)")
+    try:
+        server._thread.join()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

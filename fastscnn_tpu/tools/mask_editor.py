@@ -1,0 +1,199 @@
+"""Mask creation / editing.
+
+Ports of reference:create_mask.py (polygon/brush painter with undo) and
+reference:interactive_mask_editor.py (4-mode editor: fill/rect/polygon/
+brush with undo/redo). The geometry core (``MaskCanvas``) is headless
+and fully tested; the OpenCV window UI is a thin wrapper that requires a
+display (``python -m fastscnn_tpu.tools.mask_editor --image ...``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["MaskCanvas"]
+
+
+class MaskCanvas:
+    """Headless mask editing state machine with undo/redo."""
+
+    def __init__(self, height: int, width: int, mask: np.ndarray | None = None):
+        self.mask = (
+            np.zeros((height, width), np.uint8) if mask is None else mask.astype(np.uint8)
+        )
+        self._undo: list[np.ndarray] = []
+        self._redo: list[np.ndarray] = []
+
+    def _checkpoint(self):
+        self._undo.append(self.mask.copy())
+        if len(self._undo) > 50:
+            self._undo.pop(0)
+        self._redo.clear()
+
+    # -- operations ----------------------------------------------------------
+    def brush(self, x: int, y: int, radius: int, value: int = 255, checkpoint=True):
+        if checkpoint:
+            self._checkpoint()
+        h, w = self.mask.shape
+        ys, xs = np.ogrid[:h, :w]
+        circle = (xs - x) ** 2 + (ys - y) ** 2 <= radius**2
+        self.mask[circle] = value
+
+    def rectangle(self, x0: int, y0: int, x1: int, y1: int, value: int = 255):
+        self._checkpoint()
+        x0, x1 = sorted((max(0, x0), min(self.mask.shape[1], x1)))
+        y0, y1 = sorted((max(0, y0), min(self.mask.shape[0], y1)))
+        self.mask[y0:y1, x0:x1] = value
+
+    def polygon(self, points, value: int = 255):
+        """Fill a polygon given [(x, y), ...] vertices (even-odd rule)."""
+        self._checkpoint()
+        h, w = self.mask.shape
+        pts = np.asarray(points, np.float64)
+        ys, xs = np.mgrid[:h, :w]
+        inside = np.zeros((h, w), bool)
+        n = len(pts)
+        j = n - 1
+        for i in range(n):
+            xi, yi = pts[i]
+            xj, yj = pts[j]
+            crosses = ((yi > ys) != (yj > ys)) & (
+                xs < (xj - xi) * (ys - yi) / (yj - yi + 1e-12) + xi
+            )
+            inside ^= crosses
+            j = i
+        self.mask[inside] = value
+
+    def flood_fill(self, x: int, y: int, value: int = 255):
+        """4-connected flood fill from (x, y) over the seed's current value."""
+        self._checkpoint()
+        target = self.mask[y, x]
+        if target == value:
+            return
+        h, w = self.mask.shape
+        stack = [(y, x)]
+        while stack:
+            cy, cx = stack.pop()
+            if not (0 <= cy < h and 0 <= cx < w) or self.mask[cy, cx] != target:
+                continue
+            # fill the horizontal run
+            x0 = cx
+            while x0 > 0 and self.mask[cy, x0 - 1] == target:
+                x0 -= 1
+            x1 = cx
+            while x1 < w - 1 and self.mask[cy, x1 + 1] == target:
+                x1 += 1
+            self.mask[cy, x0 : x1 + 1] = value
+            for ny in (cy - 1, cy + 1):
+                if 0 <= ny < h:
+                    run = np.flatnonzero(self.mask[ny, x0 : x1 + 1] == target)
+                    if len(run):
+                        # push one seed per contiguous segment
+                        breaks = np.flatnonzero(np.diff(run) > 1)
+                        seeds = [run[0]] + [run[b + 1] for b in breaks]
+                        for s in seeds:
+                            stack.append((ny, x0 + int(s)))
+
+    def clear(self):
+        self._checkpoint()
+        self.mask[:] = 0
+
+    # -- history -------------------------------------------------------------
+    def undo(self) -> bool:
+        if not self._undo:
+            return False
+        self._redo.append(self.mask.copy())
+        self.mask = self._undo.pop()
+        return True
+
+    def redo(self) -> bool:
+        if not self._redo:
+            return False
+        self._undo.append(self.mask.copy())
+        self.mask = self._redo.pop()
+        return True
+
+    def save(self, path: str):
+        Image.fromarray(self.mask).save(path)
+
+
+def _interactive(image_path: str, mask_path: str):  # pragma: no cover - needs display
+    import cv2
+
+    img = cv2.imread(image_path)
+    canvas = MaskCanvas(img.shape[0], img.shape[1])
+    if os.path.exists(mask_path):
+        canvas.mask = np.asarray(Image.open(mask_path).convert("L"))
+    mode = {"name": "brush", "size": 20, "down": False, "value": 255}
+    poly: list = []
+
+    def on_mouse(event, x, y, flags, param):
+        if event == cv2.EVENT_LBUTTONDOWN:
+            mode["down"] = True
+            if mode["name"] == "brush":
+                canvas.brush(x, y, mode["size"], mode["value"])
+            elif mode["name"] == "fill":
+                canvas.flood_fill(x, y, mode["value"])
+            elif mode["name"] == "polygon":
+                poly.append((x, y))
+        elif event == cv2.EVENT_MOUSEMOVE and mode["down"] and mode["name"] == "brush":
+            canvas.brush(x, y, mode["size"], mode["value"], checkpoint=False)
+        elif event == cv2.EVENT_LBUTTONUP:
+            mode["down"] = False
+
+    cv2.namedWindow("mask editor")
+    cv2.setMouseCallback("mask editor", on_mouse)
+    print("keys: b=brush f=fill p=polygon(ENTER closes) e=eraser-toggle "
+          "+/-=size u=undo r=redo c=clear s=save q=quit")
+    while True:
+        overlay = img.copy()
+        overlay[canvas.mask > 0] = (
+            0.5 * overlay[canvas.mask > 0] + np.array([0, 127, 0])
+        ).astype(np.uint8)
+        cv2.imshow("mask editor", overlay)
+        key = cv2.waitKey(30) & 0xFF
+        if key == ord("q"):
+            break
+        elif key == ord("b"):
+            mode["name"] = "brush"
+        elif key == ord("f"):
+            mode["name"] = "fill"
+        elif key == ord("p"):
+            mode["name"] = "polygon"
+            poly.clear()
+        elif key == 13 and mode["name"] == "polygon" and len(poly) >= 3:
+            canvas.polygon(poly, mode["value"])
+            poly.clear()
+        elif key == ord("e"):
+            mode["value"] = 0 if mode["value"] else 255
+        elif key in (ord("+"), ord("=")):
+            mode["size"] = min(100, mode["size"] + 5)
+        elif key == ord("-"):
+            mode["size"] = max(2, mode["size"] - 5)
+        elif key == ord("u"):
+            canvas.undo()
+        elif key == ord("r"):
+            canvas.redo()
+        elif key == ord("c"):
+            canvas.clear()
+        elif key == ord("s"):
+            canvas.save(mask_path)
+            print(f"saved {mask_path}")
+    cv2.destroyAllWindows()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="interactive mask editor")
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--mask", default=None)
+    args = parser.parse_args(argv)
+    mask_path = args.mask or os.path.splitext(args.image)[0] + "_mask.png"
+    _interactive(args.image, mask_path)
+
+
+if __name__ == "__main__":
+    main()
