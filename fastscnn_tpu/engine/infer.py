@@ -78,12 +78,22 @@ class InferenceEngine:
         params,
         state,
         config: E2EConfig = E2EConfig(),
+        mesh=None,
         donate: bool = False,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis —
+        predict() then shards the batch across chips (weights replicated),
+        the multi-chip serving configuration (SURVEY §5.8)."""
         self.model = model
         self.config = config
+        self.mesh = mesh
         dtype = jnp.dtype(config.compute_dtype)
         self.folded = fold_inference_params(params, state, dtype=dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self.folded = jax.device_put(self.folded, repl)
         self._dtype = dtype
         self._predict_cache: dict = {}
         self._logits_cache: dict = {}
@@ -124,6 +134,13 @@ class InferenceEngine:
                 mask = resize_nearest(mask, out_size, h_axis=1, w_axis=2)
             return mask
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.jit(
+                fn,
+                in_shardings=NamedSharding(self.mesh, P("data", None, None, None)),
+            )
         return jax.jit(fn)
 
     # -- public API ---------------------------------------------------------
