@@ -18,7 +18,6 @@ strategy for variable-size eval lives in the evaluator, not here.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable
 
 import numpy as np

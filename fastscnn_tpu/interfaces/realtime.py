@@ -22,7 +22,6 @@ import numpy as np
 from fastscnn_tpu.control import VisualLateralErrorController
 from fastscnn_tpu.perception import PerspectiveTransformer
 from fastscnn_tpu.pipeline import inference_single_image
-from fastscnn_tpu.utils.profiling import PerfTimer
 
 __all__ = ["FrameSource", "OpenCVCamera", "SyntheticCamera", "RealtimePipeline"]
 

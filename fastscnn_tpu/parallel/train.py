@@ -20,7 +20,6 @@ annotations; there is no hand-written collective here by design.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax

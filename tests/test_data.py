@@ -179,6 +179,25 @@ def test_bdd100k_parity(bdd_tree, label_type):
         np.testing.assert_array_equal(mask_o, mask_r.numpy())
 
 
+@requires_reference
+@requires_torch
+@pytest.mark.parametrize("mode_kw", [{"keep_original_size": True}, {"multi_scale": True}])
+def test_bdd100k_alternate_train_modes_parity(bdd_tree, mode_kw):
+    """The keep-original-size and multi-scale-no-crop training transforms
+    (reference:data_loader/bdd100k.py:242-278 / test_data_modes.py)."""
+    kw = dict(root=bdd_tree, split="train", subset="100k", label_type="binary",
+              base_size=64, crop_size=48, **mode_kw)
+    ds_ours = get_segmentation_dataset("bdd100k", **kw)
+    ds_ref = _ref_dataset("bdd100k", **kw)
+    for i in range(len(ds_ours)):
+        random.seed(31 + i)
+        img_o, mask_o = ds_ours[i]
+        random.seed(31 + i)
+        img_r, mask_r = ds_ref[i]
+        np.testing.assert_array_equal(img_o, np.asarray(img_r))
+        np.testing.assert_array_equal(mask_o, mask_r.numpy())
+
+
 def test_bdd100k_sampling(bdd_tree):
     ds = get_segmentation_dataset(
         "bdd100k", root=bdd_tree, split="train", subset="100k", max_samples=2

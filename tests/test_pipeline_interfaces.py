@@ -111,6 +111,27 @@ def test_camera_failure_resilience():
     assert pipeline.frame_count >= 4  # kept going
 
 
+def test_monitor_fps_against_dashboard():
+    """The FPS SLO monitor polling a live dashboard
+    (reference:monitor_8fps_performance.py:12-30)."""
+    from fastscnn_tpu.tools.analyzers import monitor_fps
+
+    pipeline = RealtimePipeline(FakeRoadSession(), SyntheticCamera(), edge_computing=True)
+    server = DashboardServer(pipeline, host="127.0.0.1", port=0)
+    port = server.start()
+    pipeline.start_background(max_frames=200)
+    try:
+        result = monitor_fps(
+            f"http://127.0.0.1:{port}", target_fps=0.5, duration_sec=3, poll_interval=0.3
+        )
+        assert result["samples"] > 0
+        assert result["mean_fps"] > 0
+        assert result["slo_met"] in (True, False)
+    finally:
+        pipeline.stop()
+        server.stop()
+
+
 def test_web_dashboard_api():
     pipeline = RealtimePipeline(FakeRoadSession(), SyntheticCamera(), edge_computing=True)
     server = DashboardServer(pipeline, host="127.0.0.1", port=0)
