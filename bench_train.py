@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark (companion to bench.py).
+
+Measures full train-step throughput (forward + backward + optimizer +
+sync-BN) on synthetic data with the reference's TuSimple configuration
+(480² crops, dice+aux loss — reference baseline: 232.9 samples/s on a
+dev GPU at bs 8 fp16, PERFORMANCE_MONITORING.md:73-79).
+
+Protocol: on-device fori_loop of train steps (see bench.py for why).
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from fastscnn_tpu.losses import get_loss_fn
+    from fastscnn_tpu.models import FastSCNN
+    from fastscnn_tpu.parallel import create_train_state, make_optimizer
+    from fastscnn_tpu.parallel.train import _normalize
+    from fastscnn_tpu.utils import lr_schedule
+
+    crop = int(os.environ.get("BENCH_TRAIN_CROP", "480"))
+    batches = [int(b) for b in os.environ.get("BENCH_TRAIN_BATCHES", "8,32,64").split(",")]
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", "20"))
+
+    model = FastSCNN(num_classes=2, aux=True)
+    schedule = lr_schedule("poly", base_lr=1e-2, niters=10000, power=0.9)
+    optimizer = make_optimizer("sgd", schedule)
+    loss_fn = get_loss_fn("dice", aux=True, num_classes=2)
+
+    best_sps, best_batch = 0.0, 0
+    rng = np.random.default_rng(0)
+    for batch in batches:
+        images = jnp.asarray(rng.integers(0, 256, (batch, crop, crop, 3), dtype=np.uint8))
+        targets = jnp.asarray(rng.integers(0, 2, (batch, crop, crop)).astype(np.int32))
+        state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
+
+        def one_step(state, key):
+            x = _normalize(images, None, None, jnp.bfloat16)
+
+            def loss_of(params):
+                cast = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+                outputs, new_ms = model.apply(cast, state.model_state, x, training=True, rng=key)
+                return loss_fn(outputs, targets).astype(jnp.float32), new_ms
+
+            (loss, new_ms), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+            grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            import optax
+
+            new_params = optax.apply_updates(state.params, updates)
+            from fastscnn_tpu.parallel.train import TrainState
+
+            return TrainState(new_params, new_ms, new_opt, state.step + 1), loss
+
+        def body(i, carry):
+            state, acc = carry
+            state, loss = one_step(state, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return state, acc + loss
+
+        @jax.jit
+        def bench(state):
+            state, acc = lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+            return state.step, acc
+
+        try:
+            step, acc = bench(state)
+            _ = np.asarray(acc)  # compile + run once
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                step, acc = bench(state)
+                _ = np.asarray(acc)
+                times.append((time.perf_counter() - t0) / iters)
+            dt = sorted(times)[1]
+        except Exception as e:
+            print(f"batch {batch} failed: {e}", file=sys.stderr)
+            continue
+        sps = batch / dt
+        print(f"batch {batch}: {sps:.1f} samples/s ({dt * 1e3:.2f} ms/step)", file=sys.stderr)
+        if sps > best_sps:
+            best_sps, best_batch = sps, batch
+    print(
+        json.dumps(
+            {
+                "metric": f"train_step_throughput_{crop}x{crop}_dice_aux_bf16",
+                "value": round(best_sps, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(best_sps / 232.9, 2),
+                "batch": best_batch,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

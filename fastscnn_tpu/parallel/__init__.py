@@ -1,4 +1,5 @@
 from fastscnn_tpu.parallel.mesh import make_mesh, make_mesh_for_batch, batch_sharding, replicate_sharding
+from fastscnn_tpu.parallel.multihost import initialize_multihost, host_shard, is_primary_host
 from fastscnn_tpu.parallel.train import (
     TrainState,
     create_train_state,

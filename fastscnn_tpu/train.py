@@ -47,6 +47,9 @@ def parse_args(argv=None):
                         help="bf16 compute on TPU (kept for flag parity)")
     parser.add_argument("--resume", type=str, default=None,
                         help=".pth (weights) or .npz (full state) checkpoint")
+    parser.add_argument("--auto-resume", action="store_true", default=False,
+                        help="resume from save-folder's latest train state if present "
+                             "(preemption-safe restarts)")
     parser.add_argument("--save-folder", type=str, default="./weights")
     parser.add_argument("--eval", action="store_true", default=False)
     parser.add_argument("--no-val", action="store_true", default=False)
@@ -145,9 +148,17 @@ class Trainer:
         self.state = create_train_state(
             self.model, optimizer, key=jax.random.PRNGKey(args.seed)
         )
+        if args.auto_resume and not args.resume:
+            candidate = os.path.join(args.save_folder, f"train_state_{args.dataset}.npz")
+            if os.path.exists(candidate):
+                args.resume = candidate
         if args.resume:
             if args.resume.endswith(".npz"):
                 self.state = load_train_state(args.resume, self.state)
+                # continue from the epoch implied by the restored step
+                args.start_epoch = max(
+                    args.start_epoch, int(self.state.step) // self.iters_per_epoch
+                )
                 print(f"resumed full train state from {args.resume} (step {int(self.state.step)})")
             else:
                 params, mstate = load_pth_checkpoint(
