@@ -123,6 +123,17 @@ class DashboardServer:
                     stats = pipeline.get_stats()
                     stats.pop("control_map", None)
                     stats.pop("visualization", None)
+                    # system monitor (the reference's psutil/npu-smi thread,
+                    # reference:lane_dashboard.py:380-)
+                    try:
+                        import psutil
+
+                        stats["system"] = {
+                            "cpu_percent": psutil.cpu_percent(interval=None),
+                            "mem_percent": psutil.virtual_memory().percent,
+                        }
+                    except Exception:
+                        pass
                     self._json(stats)
                 elif self.path == "/api/control_status":
                     ctrl = pipeline.controller

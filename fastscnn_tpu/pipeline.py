@@ -161,6 +161,9 @@ def parse_args(argv=None):
     parser.add_argument("--enable-control", action="store_true", default=True)
     parser.add_argument("--edge-computing", action="store_true", default=False)
     parser.add_argument("--pixels-per-unit", type=int, default=20)
+    parser.add_argument("--calibration", type=str, default=None,
+                        help="external calibration JSON (reference:onnx_bird_eye_inference.py "
+                             "pattern); default: built-in corrected A4 calibration")
     parser.add_argument("--output-dir", type=str, default="./output")
     # controller gains (reference:kuruma/kuruma_control_dashboard.py flags)
     parser.add_argument("--steering-gain", type=float, default=50.0)
@@ -186,6 +189,12 @@ def main(argv=None):
         raise SystemExit(f"cannot read {args.input}")
 
     session = build_session(args)
+    transformer = None
+    if args.calibration:
+        import json as _json
+
+        with open(args.calibration) as f:
+            transformer = PerspectiveTransformer(_json.load(f))
     controller = VisualLateralErrorController(
         steering_gain=args.steering_gain,
         base_pwm=args.base_pwm,
@@ -202,6 +211,7 @@ def main(argv=None):
         save_control_map=args.save_control_map,
         enable_control=args.enable_control,
         controller=controller,
+        transformer=transformer,
         pixels_per_unit=args.pixels_per_unit,
         edge_computing=args.edge_computing,
         output_dir=args.output_dir,
