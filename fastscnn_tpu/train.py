@@ -57,6 +57,9 @@ def parse_args(argv=None):
     parser.add_argument("--save-epoch", type=int, default=10)
     parser.add_argument("--print-interval", type=int, default=10)
     parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--loader", type=str, default="threads", choices=["threads", "grain"],
+                        help="input pipeline: threaded prefetch (default) or Grain "
+                             "(multiprocess workers, per-record deterministic aug)")
     parser.add_argument("--seed", type=int, default=0)
     # bdd100k extras (reference:train_bdd100k.py)
     parser.add_argument("--subset", type=str, default="100k")
@@ -66,6 +69,25 @@ def parse_args(argv=None):
     parser.add_argument("--keep-original-size", action="store_true", default=False)
     parser.add_argument("--multi-scale", action="store_true", default=False)
     return parser.parse_args(argv)
+
+
+class _EpochChunker:
+    """Adapts a multi-epoch Grain stream to the per-epoch iteration the
+    trainer loop expects."""
+
+    def __init__(self, loader, num_epochs):
+        self._iter = iter(loader)
+        self._per_epoch = len(loader) // max(num_epochs, 1)
+
+    def __len__(self):
+        return self._per_epoch
+
+    def __iter__(self):
+        for _ in range(self._per_epoch):
+            try:
+                yield next(self._iter)
+            except StopIteration:
+                return
 
 
 _DEFAULT_ROOTS = {
@@ -116,14 +138,30 @@ class Trainer:
             self.val_ds = get_segmentation_dataset(
                 args.dataset, split="val", mode="val", **ds_kwargs
             )
-        self.train_loader = DataLoader(
-            self.train_ds,
-            batch_size=args.batch_size,
-            shuffle=True,
-            drop_last=True,
-            num_workers=args.num_workers,
-            seed=args.seed,
-        )
+        if args.loader == "grain":
+            from fastscnn_tpu.data.grain_loader import GrainDataLoader
+
+            self.train_loader = GrainDataLoader(
+                self.train_ds,
+                batch_size=args.batch_size,
+                shuffle=True,
+                drop_last=True,
+                num_workers=args.num_workers,
+                seed=args.seed,
+                num_epochs=args.epochs,
+            )
+            # GrainDataLoader iterates num_epochs epochs in one stream; the
+            # trainer loop re-enters per epoch, so wrap to chunk per epoch.
+            self.train_loader = _EpochChunker(self.train_loader, args.epochs)
+        else:
+            self.train_loader = DataLoader(
+                self.train_ds,
+                batch_size=args.batch_size,
+                shuffle=True,
+                drop_last=True,
+                num_workers=args.num_workers,
+                seed=args.seed,
+            )
         self.num_classes = self.train_ds.num_class
 
         if self.train_ds.normalization == "imagenet":

@@ -96,3 +96,27 @@ def load_train_state(path, template_state):
         if a.shape != jnp.shape(b):
             raise ValueError(f"shape mismatch restoring train state: {a.shape} vs {jnp.shape(b)}")
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# -- orbax backend (ecosystem-standard; sharding/async/multi-host aware) ----
+
+
+def save_train_state_orbax(train_state, directory):
+    """Save via orbax (OCDBT pytree checkpoint). Returns the directory.
+
+    Preferred for multi-host/sharded state; the npz format above remains
+    the dependency-free fallback."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(directory, train_state, force=True)
+    ckptr.wait_until_finished()
+    return directory
+
+
+def load_train_state_orbax(directory, template_state):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(directory), template_state)
