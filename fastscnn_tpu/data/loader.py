@@ -68,14 +68,25 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that aborts promptly if the consumer went away
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idx in batch_iter:
                     if stop.is_set():
                         break
                     samples = list(pool.map(self.dataset.__getitem__, idx))
-                    out_q.put(self._collate(samples))
-            out_q.put(None)
+                    if not put_or_stop(self._collate(samples)):
+                        return
+            put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -68,11 +68,21 @@ def mix_dice_loss(outputs, target, aux_weight: float = 0.4, smooth: float = 1e-6
     return loss
 
 
+def _select_class(values: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """``values[..., target]`` as a one-hot contraction.
+
+    ``take_along_axis`` over the class (lane) axis lowers to a per-pixel
+    lane gather on TPU — measured ~5× the cost of the whole forward pass
+    at 768² inputs. A one-hot multiply-reduce is a plain VPU pattern."""
+    tc = jnp.clip(target, 0, values.shape[-1] - 1)
+    onehot = jax.nn.one_hot(tc, values.shape[-1], dtype=values.dtype)
+    return jnp.sum(values * onehot, axis=-1)
+
+
 def _per_pixel_ce(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Unreduced CE; target clipped into range for the gather (callers mask)."""
+    """Unreduced CE; target clipped into range (callers mask)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    tc = jnp.clip(target, 0, logits.shape[-1] - 1)
-    return -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+    return -_select_class(logp, target)
 
 
 def focal_dice_loss(
@@ -108,7 +118,8 @@ def cross_entropy_loss(
     ce = _per_pixel_ce(logits, target)
     if class_weights is not None:
         w = jnp.asarray(class_weights, jnp.float32)
-        pw = w[jnp.clip(target, 0, logits.shape[-1] - 1)]
+        tc = jnp.clip(target, 0, logits.shape[-1] - 1)
+        pw = jnp.sum(jax.nn.one_hot(tc, logits.shape[-1], dtype=jnp.float32) * w, axis=-1)
         ce = ce * pw
         denom = jnp.sum(pw * valid)
     else:
@@ -122,6 +133,28 @@ def mix_cross_entropy_loss(outputs, target, aux_weight: float = 0.2, ignore_labe
     for aux_logits in outputs[1:]:
         loss = loss + aux_weight * cross_entropy_loss(aux_logits, target, ignore_label)
     return loss
+
+
+def _kth_smallest_nonneg(x_flat: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact k-th smallest of a non-negative f32 vector (+inf allowed).
+
+    ``lax.top_k`` over millions of pixels measured ~0.5 s/step on v5e at
+    768² inputs. For non-negative IEEE floats the int32 bit pattern is
+    order-isomorphic to the value, so 31 fixed bisection steps on the bit
+    range — each a cheap full reduction — find the exact k-th order
+    statistic (same selected value as a sort, ties included)."""
+    bits = lax.bitcast_convert_type(x_flat, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        kth_above_mid = jnp.sum(bits <= mid) < k
+        return (jnp.where(kth_above_mid, mid + 1, lo), jnp.where(kth_above_mid, hi, mid))
+
+    lo, _ = lax.fori_loop(
+        0, 31, body, (jnp.int32(0), jnp.int32(0x7F800000))  # [0.0, +inf]
+    )
+    return lax.bitcast_convert_type(lo, jnp.float32)
 
 
 def ohem_cross_entropy_loss(
@@ -142,16 +175,15 @@ def ohem_cross_entropy_loss(
     lf = logits.astype(jnp.float32)
     valid = target != ignore_label
     prob = jax.nn.softmax(lf, axis=-1)
-    tc = jnp.clip(target, 0, logits.shape[-1] - 1)
-    true_prob = jnp.take_along_axis(prob, tc[..., None], axis=-1)[..., 0]
+    true_prob = _select_class(prob, target)
 
     flat = jnp.where(valid, true_prob, jnp.inf).reshape(-1)
     k = min(int(min_kept), flat.shape[0])
     if k > 0:
-        # k-th smallest == k-th largest of the negation. If fewer than k
-        # valid pixels exist the k-th value is +inf → keep all valid,
-        # matching the reference's min_kept >= num_valid early-out.
-        kth = -lax.top_k(-flat, k)[0][-1]
+        # Exact k-th smallest. If fewer than k valid pixels exist the k-th
+        # value is +inf → keep all valid, matching the reference's
+        # min_kept >= num_valid early-out.
+        kth = _kth_smallest_nonneg(flat, k)
         threshold = jnp.maximum(kth, thresh)
     else:
         threshold = jnp.asarray(thresh, jnp.float32)

@@ -237,6 +237,23 @@ def test_custom_split_is_seeded_sklearn_split(custom_tree):
     assert ds_train.filenames == expect_train
 
 
+def test_dataloader_early_break_does_not_hang(city_tree):
+    """Breaking out of iteration mid-epoch must not leave the producer
+    blocked on a full queue."""
+    import threading
+    import time
+
+    ds = get_segmentation_dataset("citys", root=city_tree, split="train", base_size=64, crop_size=48)
+    loader = DataLoader(ds, batch_size=1, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    for batch in loader:
+        break  # early exit with batches still queued
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # producer wound down
+
+
 def test_dataloader_batching(city_tree):
     ds = get_segmentation_dataset("citys", root=city_tree, split="train", base_size=64, crop_size=48)
     loader = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=2)
