@@ -37,6 +37,9 @@ def parse_args(argv=None):
     # camera
     parser.add_argument("--camera", type=int, default=0)
     parser.add_argument("--synthetic-camera", action="store_true", default=False)
+    parser.add_argument("--video", type=str, default=None,
+                        help="replay a recorded video file instead of a live camera")
+    parser.add_argument("--loop-video", action="store_true", default=False)
     parser.add_argument("--camera-width", type=int, default=640)
     parser.add_argument("--camera-height", type=int, default=360)
     # BEV / path
@@ -113,7 +116,11 @@ def main(argv=None):
 
     from fastscnn_tpu.interfaces import DashboardServer, RealtimePipeline, SyntheticCamera
 
-    if args.synthetic_camera:
+    if args.video:
+        from fastscnn_tpu.interfaces.realtime import VideoFileCamera
+
+        camera = VideoFileCamera(args.video, loop=args.loop_video)
+    elif args.synthetic_camera:
         camera = SyntheticCamera(args.camera_width, args.camera_height)
     else:
         from fastscnn_tpu.interfaces.realtime import OpenCVCamera

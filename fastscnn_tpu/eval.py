@@ -30,6 +30,9 @@ def parse_args(argv=None):
     parser.add_argument("--crop-size", type=int, default=768)
     parser.add_argument("--mode", type=str, default="testval", choices=["testval", "val"])
     parser.add_argument("--pad-multiple", type=int, default=64)
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="bucketed batching (same padded shape); >1 is a large "
+                             "speedup on uniform-size val sets")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--dtype", type=str, default="float32",
                         help="compute dtype for parity (float32) or speed (bfloat16)")
@@ -108,6 +111,10 @@ class Evaluator:
         return out, h, w
 
     def eval(self):
+        """Bucketed-batch evaluation: samples are grouped by padded shape so
+        uniform-size datasets (Cityscapes val is all 1024×2048) run at the
+        full batch size with ONE compiled executable — the reference
+        evaluates strictly at bs=1 (reference:eval.py:24)."""
         import jax.numpy as jnp
 
         from fastscnn_tpu.utils.visualize import get_color_pallete
@@ -117,22 +124,47 @@ class Evaluator:
         n = len(self.dataset)
         if args.max_images:
             n = min(n, args.max_images)
+        bs = max(1, args.batch_size)
+
+        # bucket indices by padded shape
+        buckets: dict[tuple, list] = {}
+        items = []
         for i in range(n):
             img, mask = self.dataset[i]
             padded, h, w = self._pad(img)
-            # pad target with ignore so the pad region never counts
-            tgt = np.full(padded.shape[:2], -1, np.int32)
-            tgt[:h, :w] = mask
-            pred, _ = self.eval_step(
-                self.params, self.model_state, jnp.asarray(padded[None]), jnp.asarray(tgt[None])
-            )
-            pred = np.asarray(pred)[0, :h, :w]
-            self.metric.update(pred, np.asarray(mask))
-            pix_acc, miou = self.metric.get()
-            print(f"sample {i + 1}: pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
-            get_color_pallete(pred, args.dataset).save(
-                os.path.join(args.outdir, f"seg_{i}.png")
-            )
+            items.append((padded, mask, h, w))
+            buckets.setdefault(padded.shape, []).append(i)
+
+        done = 0
+        for shape, indices in buckets.items():
+            for start in range(0, len(indices), bs):
+                chunk = indices[start : start + bs]
+                batch_imgs = np.stack([items[i][0] for i in chunk])
+                batch_tgts = np.full((len(chunk), *shape[:2]), -1, np.int32)
+                for row, i in enumerate(chunk):
+                    _, mask, h, w = items[i]
+                    batch_tgts[row, :h, :w] = mask
+                # pad the batch dim to bs so one executable serves every chunk
+                pad_n = bs - len(chunk)
+                if pad_n:
+                    batch_imgs = np.concatenate([batch_imgs, np.zeros((pad_n, *shape), np.uint8)])
+                    batch_tgts = np.concatenate(
+                        [batch_tgts, np.full((pad_n, *shape[:2]), -1, np.int32)]
+                    )
+                preds, _ = self.eval_step(
+                    self.params, self.model_state, jnp.asarray(batch_imgs), jnp.asarray(batch_tgts)
+                )
+                preds = np.asarray(preds)
+                for row, i in enumerate(chunk):
+                    _, mask, h, w = items[i]
+                    pred = preds[row, :h, :w]
+                    self.metric.update(pred, np.asarray(mask))
+                    done += 1
+                    pix_acc, miou = self.metric.get()
+                    print(f"sample {done}: pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
+                    get_color_pallete(pred, args.dataset).save(
+                        os.path.join(args.outdir, f"seg_{i}.png")
+                    )
         return self.metric.get()
 
 

@@ -56,6 +56,30 @@ class OpenCVCamera(FrameSource):
         self.cap.release()
 
 
+class VideoFileCamera(FrameSource):
+    """Frame source over a video file (offline replay of recorded drives)."""
+
+    def __init__(self, path: str, loop: bool = False):
+        import cv2
+
+        self._cv2 = cv2
+        self.path = path
+        self.loop = loop
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(f"cannot open video {path}")
+
+    def read(self):
+        ok, frame = self.cap.read()
+        if not ok and self.loop:
+            self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, frame = self.cap.read()
+        return ok, frame
+
+    def release(self):
+        self.cap.release()
+
+
 class SyntheticCamera(FrameSource):
     """Deterministic synthetic road frames for hardware-free runs."""
 

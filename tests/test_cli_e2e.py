@@ -110,6 +110,32 @@ def test_train_eval_demo_roundtrip(custom_root, tmp_path, monkeypatch):
     assert Image.open(out).size == (64, 64)
 
 
+def test_eval_bucketed_batching_matches_bs1(custom_root, tmp_path, monkeypatch):
+    """Batched evaluation (with a padded final chunk) must produce exactly
+    the bs=1 metrics."""
+    monkeypatch.chdir(tmp_path)
+    from fastscnn_tpu.eval import Evaluator
+    from fastscnn_tpu.eval import parse_args as eval_args
+
+    def run(bs):
+        ev = Evaluator(
+            eval_args(
+                [
+                    "--dataset", "custom",
+                    "--data-root", custom_root,
+                    "--mode", "val",
+                    "--base-size", "64",
+                    "--crop-size", "32",
+                    "--batch-size", str(bs),
+                    "--outdir", str(tmp_path / f"out{bs}"),
+                ]
+            )
+        )
+        return ev.eval()
+
+    assert run(1) == run(3)
+
+
 def test_train_loss_decreases(custom_root, tmp_path, monkeypatch):
     """On the separable synthetic task, 5 epochs of dice must clearly
     reduce the loss (functional check of grads + LR schedule)."""
