@@ -42,6 +42,10 @@ def parse_args(argv=None):
     parser.add_argument("--normalize", action="store_true", default=False,
                         help="apply ImageNet mean/std (reference default: off for custom)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--atc-compat", action="store_true", default=False,
+                        help="reproduce the reference's deployed graph exactly "
+                             "(pyramid grids 1/2/4/8, align_corners=False PPM) "
+                             "instead of the faithful training architecture")
     parser.add_argument("--output", type=str, default="exports/fast_scnn_e2e.stablehlo")
     return parser.parse_args(argv)
 
@@ -57,7 +61,11 @@ def main(argv=None):
     from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
 
     num_classes = DATASET_NUM_CLASSES[args.dataset]
-    model = FastSCNN(num_classes=num_classes, aux=args.aux)
+    if args.atc_compat:
+        model = FastSCNN(num_classes=num_classes, aux=args.aux,
+                         ppm_sizes=(1, 2, 4, 8), ppm_align_corners=False)
+    else:
+        model = FastSCNN(num_classes=num_classes, aux=args.aux)
     if args.weights and os.path.exists(args.weights):
         params, state = load_pth_checkpoint(args.weights, num_classes, aux=args.aux or None)
         print(f"loaded {args.weights}")

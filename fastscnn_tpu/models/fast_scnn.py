@@ -173,11 +173,16 @@ class FastSCNN:
     num_classes: int
     aux: bool = False
     dropout_rate: float = 0.1
-    # ONNX/ATC-style fixed pooling: replace adaptive pools with fixed-stride
-    # average pools when the 1/32 feature map is divisible by 6
-    # (reference:export_onnx_fixed.py:100-163). Functionally identical when
-    # divisible; kept as an option for export parity experiments.
+    # Deployment-graph compatibility knobs. The reference's ATC/ONNX export
+    # *changes the architecture* (reference:export_onnx_fixed.py:100-163):
+    # fixed AvgPool2d(32/16/8/4) on the 32×32 feature map yields pyramid
+    # grids 1/2/4/8 (training uses adaptive 1/2/3/6) and PPM upsampling
+    # switches to align_corners=False — the source of its published 0.38%
+    # deploy pixel drift. Our default export keeps the training
+    # architecture exactly; set ppm_sizes=(1, 2, 4, 8) and
+    # ppm_align_corners=False to reproduce the reference's deployed graph.
     ppm_sizes: tuple[int, ...] = _PPM_SIZES
+    ppm_align_corners: bool = True
 
     # -- init ---------------------------------------------------------------
     def init(self, key) -> tuple[Params, Params]:
@@ -240,7 +245,7 @@ class FastSCNN:
         for conv_name, pool_size in zip(("conv1", "conv2", "conv3", "conv4"), self.ppm_sizes):
             y = adaptive_avg_pool(x, pool_size)
             y, ns[conv_name] = _apply_cbr(p[conv_name], s[conv_name], y, training)
-            feats.append(resize_bilinear(y, size, align_corners=True))
+            feats.append(resize_bilinear(y, size, align_corners=self.ppm_align_corners))
         y = jnp.concatenate(feats, axis=-1)
         y, ns["out"] = _apply_cbr(p["out"], s["out"], y, training)
         return y, ns
@@ -326,7 +331,7 @@ class FastSCNN:
         for conv_name, pool_size in zip(("conv1", "conv2", "conv3", "conv4"), self.ppm_sizes):
             z = adaptive_avg_pool(y, pool_size)
             z = cbr(g["ppm"][conv_name], z)
-            feats.append(resize_bilinear(z, psize, align_corners=True))
+            feats.append(resize_bilinear(z, psize, align_corners=self.ppm_align_corners))
         y = jnp.concatenate(feats, axis=-1)
         lower = cbr(g["ppm"]["out"], y)
         # FFM
