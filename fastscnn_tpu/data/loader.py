@@ -6,6 +6,12 @@ GIL during JPEG/PNG decode) while the accelerator trains on the previous
 batch. Batches are numpy ``(images u8 NHWC, targets i32 NHW)`` — padding
 to a common shape happens only when samples disagree (testval mode
 should instead use the evaluator's bucket-and-pad policy).
+
+Determinism note: datasets draw augmentation randomness from the global
+``random`` module (reference semantics), so with >1 worker thread the
+stream interleaves nondeterministically. Use ``num_workers=1`` for exact
+reproducibility, or the Grain loader (``data/grain_loader.py``) whose
+per-record seeding is reproducible at any worker count.
 """
 
 from __future__ import annotations

@@ -78,7 +78,6 @@ class InferenceEngine:
         state,
         config: E2EConfig = E2EConfig(),
         mesh=None,
-        donate: bool = False,
     ):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis —
         predict() then shards the batch across chips (weights replicated),

@@ -165,3 +165,40 @@ def test_train_loss_decreases(custom_root, tmp_path, monkeypatch):
     log = json.load(open("logs/training_log_custom.json"))
     losses = [r["train_loss"] for r in log]
     assert np.mean(losses[-2:]) < losses[0]
+
+
+def test_training_determinism(custom_root, tmp_path, monkeypatch):
+    """Same seed → identical loss trajectory (augmentation, shuffling,
+    dropout, and init are all keyed)."""
+    monkeypatch.chdir(tmp_path)
+    import random
+
+    from fastscnn_tpu.train import Trainer, parse_args
+
+    flags = [
+        "--dataset", "custom",
+        "--data-root", custom_root,
+        "--base-size", "64",
+        "--crop-size", "32",
+        "--epochs", "2",
+        "--batch-size", "2",
+        "--loss-type", "dice",
+        "--no-val",
+        "--save-epoch", "100",
+        "--print-interval", "100",
+        "--seed", "11",
+        # threaded workers interleave the shared global-random augmentation
+        # stream nondeterministically; 1 worker (or --loader grain, which is
+        # per-record seeded) gives exact reproducibility
+        "--num-workers", "1",
+    ]
+
+    def run():
+        random.seed(99)
+        trainer = Trainer(parse_args(flags))
+        trainer.train()
+        log = json.load(open("logs/training_log_custom.json"))
+        os.remove("logs/training_log_custom.json")
+        return [r["train_loss"] for r in log]
+
+    assert run() == run()
