@@ -222,8 +222,11 @@ def get_loss_fn(
 ):
     """Loss registry mirroring the trainer's selection
     (reference:train.py:183-192): 'dice' → MixDice, 'focal_dice' →
-    FocalDice, 'ce' → Mix OHEM CE (with the Cityscapes class weights when
-    ``num_classes == 19``)."""
+    FocalDice on the main output (the reference passes the raw output
+    *tuple* into FocalDiceLoss, which would crash on `pred.dim()` —
+    a latent reference bug; we use the main head), 'ce' → Mix OHEM CE
+    with the trainer's aux_weight (CLI default 0.4) and the Cityscapes
+    class weights when ``num_classes == 19``."""
     if name == "dice":
         return functools.partial(mix_dice_loss, aux_weight=aux_weight)
     if name == "focal_dice":
@@ -236,7 +239,7 @@ def get_loss_fn(
         )
         return functools.partial(
             mix_ohem_cross_entropy_loss,
-            aux_weight=0.2,
+            aux_weight=aux_weight,
             ignore_label=ignore_label,
             class_weights=weights,
         )
