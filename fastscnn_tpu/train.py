@@ -68,7 +68,17 @@ def parse_args(argv=None):
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--keep-original-size", action="store_true", default=False)
     parser.add_argument("--multi-scale", action="store_true", default=False)
-    return parser.parse_args(argv)
+    parser.add_argument("--experiment", action="store_true", default=False,
+                        help="quick experiment mode: 5%% of the data, 20 epochs, bs 4 "
+                             "(reference:train_bdd100k.py:99-107)")
+    args = parser.parse_args(argv)
+    if args.experiment:
+        args.sample_ratio = 0.05
+        args.epochs = 20
+        args.batch_size = 4
+        args.val_epoch = 2
+        args.print_interval = 10
+    return args
 
 
 class _EpochChunker:
@@ -135,8 +145,12 @@ class Trainer:
         )
         self.val_ds = None
         if not args.no_val:
+            val_kwargs = dict(ds_kwargs)
+            if args.dataset == "bdd100k" and val_kwargs.get("sample_ratio", 1.0) < 1.0:
+                # shrink validation like the reference (train_bdd100k.py:139-141)
+                val_kwargs["sample_ratio"] = min(0.2, val_kwargs["sample_ratio"] * 2)
             self.val_ds = get_segmentation_dataset(
-                args.dataset, split="val", mode="val", **ds_kwargs
+                args.dataset, split="val", mode="val", **val_kwargs
             )
         if args.loader == "grain":
             from fastscnn_tpu.data.grain_loader import GrainDataLoader
