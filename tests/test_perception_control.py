@@ -152,6 +152,29 @@ def test_preprocessing_parity():
     np.testing.assert_array_equal(m_o, m_r)
 
 
+def test_numpy_warp_fallback_matches_cv2(monkeypatch):
+    """The cv2-free inverse-mapping warp must agree with cv2.warpPerspective
+    (bilinear within rounding; nearest within boundary jitter)."""
+    import fastscnn_tpu.perception.transform as tf_mod
+
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (90, 160, 3), dtype=np.uint8)
+    mask = (rng.random((90, 160)) < 0.5).astype(np.uint8) * 255
+    matrix = np.asarray(
+        [[0.8, 0.1, 5.0], [-0.05, 0.9, 3.0], [0.0002, 0.0001, 1.0]], np.float64
+    )
+    out_size = (140, 100)
+
+    cv2_img = tf_mod.warp_perspective(image, matrix, out_size)
+    cv2_mask = tf_mod.warp_perspective(mask, matrix, out_size, nearest=True)
+    monkeypatch.setattr(tf_mod, "_HAS_CV2", False)
+    np_img = tf_mod.warp_perspective(image, matrix, out_size)
+    np_mask = tf_mod.warp_perspective(mask, matrix, out_size, nearest=True)
+
+    assert np.mean(np.abs(np_img.astype(int) - cv2_img.astype(int))) < 2.0
+    assert (np_mask == cv2_mask).mean() > 0.98
+
+
 def test_control_map_and_json(tmp_path):
     from fastscnn_tpu.perception import save_path_data_json
 
