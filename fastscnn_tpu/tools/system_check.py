@@ -77,7 +77,7 @@ def main(argv=None):
     workdir = args.workdir or tempfile.mkdtemp(prefix="fastscnn_syscheck_")
     data_root = generate_dataset(os.path.join(workdir, "citys"))
     os.chdir(workdir)
-    print(f"[1/4] synthetic 19-class Cityscapes-format dataset at {data_root}")
+    print(f"[1/6] synthetic 19-class Cityscapes-format dataset at {data_root}")
 
     import jax
 
@@ -104,7 +104,7 @@ def main(argv=None):
             ]
         )
     )
-    print(f"[2/4] training {args.epochs} epochs (OHEM CE + aux, bf16, sharded step)...")
+    print(f"[2/6] training {args.epochs} epochs (OHEM CE + aux, bf16, sharded step)...")
     trainer.train()
     ckpt = trainer.save_checkpoint()
     print(f"      checkpoint: {ckpt}")
@@ -125,7 +125,7 @@ def main(argv=None):
         )
     )
     pix_acc, miou = evaluator.eval()
-    print(f"[3/4] eval: pixAcc {pix_acc * 100:.2f}% mIoU {miou * 100:.2f}%")
+    print(f"[3/6] eval: pixAcc {pix_acc * 100:.2f}% mIoU {miou * 100:.2f}%")
     ok = pix_acc > 0.6
     if not ok:
         print("      WARNING: pixAcc below 60% — training did not converge as expected")
@@ -175,7 +175,59 @@ def main(argv=None):
             ok = ok and worst < 0.005
         except Exception as e:  # reference/torch unavailable
             cross = f"unavailable ({type(e).__name__}: {e})"
-    print(f"[4/4] reference torch cross-check: {cross}")
+    print(f"[4/6] reference torch cross-check: {cross}")
+
+    # export the E2E graph and run the perception pipeline on the artifact
+    try:
+        import jax.numpy as jnp
+
+        from fastscnn_tpu.engine import E2EConfig, IMAGENET_MEAN, IMAGENET_STD, InferenceEngine
+        from fastscnn_tpu.engine.export import export_stablehlo, load_exported
+        from fastscnn_tpu.models import FastSCNN
+        from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
+
+        params, state = load_pth_checkpoint(ckpt, 19, aux=True)
+        engine = InferenceEngine(
+            FastSCNN(num_classes=19, aux=True),
+            params,
+            state,
+            config=E2EConfig(mean=IMAGENET_MEAN, std=IMAGENET_STD, compute_dtype="bfloat16"),
+        )
+        shape = (1, 360, 640, 3)
+        path = export_stablehlo(
+            engine.predict_fn(shape),
+            [jax.ShapeDtypeStruct(shape, jnp.uint8)],
+            os.path.join(workdir, "model.stablehlo"),
+        )
+        artifact = load_exported(path)
+        print(f"[5/6] StableHLO export ok ({os.path.getsize(path)} bytes)")
+
+        from fastscnn_tpu.pipeline import inference_single_image
+
+        class ArtifactSession:
+            def infer(self, feeds):
+                x = np.transpose(np.asarray(feeds[0]), (0, 2, 3, 1)).astype(np.uint8)
+                mask = np.asarray(artifact(x))  # (1, H, W) argmax ids
+                # expose as binary drivable logits for the planner (class 0 vs rest)
+                logits = np.zeros((1, 2, mask.shape[1], mask.shape[2]), np.float32)
+                logits[0, 1] = np.where(mask[0] > 0, 5.0, -5.0)
+                return [logits]
+
+        frame = np.zeros((360, 640, 3), np.uint8)
+        frame[180:, :] = 120
+        result = inference_single_image(
+            frame, ArtifactSession(), edge_computing=True, output_dir=os.path.join(workdir, "out")
+        )
+        cr = result.get("control_result")
+        assert cr is not None and -1000 <= cr["pwm_left"] <= 1000
+        print(
+            f"[6/6] perception pipeline on the exported artifact: "
+            f"PWM L {cr['pwm_left']:+.0f} R {cr['pwm_right']:+.0f} ({cr['turn_direction']})"
+        )
+    except Exception as e:
+        print(f"[5-6/6] export/pipeline stage FAILED: {type(e).__name__}: {e}")
+        ok = False
+
     print("SYSTEM CHECK:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
