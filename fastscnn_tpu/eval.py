@@ -125,46 +125,45 @@ class Evaluator:
         if args.max_images:
             n = min(n, args.max_images)
         bs = max(1, args.batch_size)
+        self._done = 0
 
-        # bucket indices by padded shape
+        def flush(shape, pending):
+            """Run one padded batch and update metrics/dumps."""
+            chunk = pending[:bs]
+            del pending[: len(chunk)]
+            batch_imgs = np.zeros((bs, *shape), np.uint8)
+            batch_tgts = np.full((bs, *shape[:2]), -1, np.int32)
+            for row, (i, padded, mask, h, w) in enumerate(chunk):
+                batch_imgs[row] = padded
+                batch_tgts[row, :h, :w] = mask
+            preds, _ = self.eval_step(
+                self.params, self.model_state, jnp.asarray(batch_imgs), jnp.asarray(batch_tgts)
+            )
+            preds = np.asarray(preds)
+            for row, (i, _, mask, h, w) in enumerate(chunk):
+                pred = preds[row, :h, :w]
+                self.metric.update(pred, np.asarray(mask))
+                self._done += 1
+                pix_acc, miou = self.metric.get()
+                print(
+                    f"sample {self._done}: pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%"
+                )
+                get_color_pallete(pred, args.dataset).save(
+                    os.path.join(args.outdir, f"seg_{i}.png")
+                )
+
+        # stream samples into per-shape accumulators (memory: O(bs × buckets))
         buckets: dict[tuple, list] = {}
-        items = []
         for i in range(n):
             img, mask = self.dataset[i]
             padded, h, w = self._pad(img)
-            items.append((padded, mask, h, w))
-            buckets.setdefault(padded.shape, []).append(i)
-
-        done = 0
-        for shape, indices in buckets.items():
-            for start in range(0, len(indices), bs):
-                chunk = indices[start : start + bs]
-                batch_imgs = np.stack([items[i][0] for i in chunk])
-                batch_tgts = np.full((len(chunk), *shape[:2]), -1, np.int32)
-                for row, i in enumerate(chunk):
-                    _, mask, h, w = items[i]
-                    batch_tgts[row, :h, :w] = mask
-                # pad the batch dim to bs so one executable serves every chunk
-                pad_n = bs - len(chunk)
-                if pad_n:
-                    batch_imgs = np.concatenate([batch_imgs, np.zeros((pad_n, *shape), np.uint8)])
-                    batch_tgts = np.concatenate(
-                        [batch_tgts, np.full((pad_n, *shape[:2]), -1, np.int32)]
-                    )
-                preds, _ = self.eval_step(
-                    self.params, self.model_state, jnp.asarray(batch_imgs), jnp.asarray(batch_tgts)
-                )
-                preds = np.asarray(preds)
-                for row, i in enumerate(chunk):
-                    _, mask, h, w = items[i]
-                    pred = preds[row, :h, :w]
-                    self.metric.update(pred, np.asarray(mask))
-                    done += 1
-                    pix_acc, miou = self.metric.get()
-                    print(f"sample {done}: pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
-                    get_color_pallete(pred, args.dataset).save(
-                        os.path.join(args.outdir, f"seg_{i}.png")
-                    )
+            pending = buckets.setdefault(padded.shape, [])
+            pending.append((i, padded, mask, h, w))
+            if len(pending) >= bs:
+                flush(padded.shape, pending)
+        for shape, pending in buckets.items():
+            while pending:
+                flush(shape, pending)
         return self.metric.get()
 
 
