@@ -34,6 +34,8 @@ def parse_args(argv=None):
                         help="bucketed batching (same padded shape); >1 is a large "
                              "speedup on uniform-size val sets")
     parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--per-class", action="store_true", default=False,
+                        help="print per-class IoU (reference:utils/metric.py compute_score)")
     parser.add_argument("--dtype", type=str, default="float32",
                         help="compute dtype for parity (float32) or speed (bfloat16)")
     return parser.parse_args(argv)
@@ -167,10 +169,24 @@ class Evaluator:
         return self.metric.get()
 
 
+_CITYS_CLASSES = (
+    "road", "sidewalk", "building", "wall", "fence", "pole", "traffic light",
+    "traffic sign", "vegetation", "terrain", "sky", "person", "rider", "car",
+    "truck", "bus", "train", "motorcycle", "bicycle",
+)
+
+
 def main(argv=None):
     args = parse_args(argv)
     evaluator = Evaluator(args)
     pix_acc, miou = evaluator.eval()
+    if args.per_class:
+        ious = evaluator.metric.per_class_iou()
+        names = _CITYS_CLASSES if args.dataset == "citys" else [
+            f"class_{i}" for i in range(len(ious))
+        ]
+        for name, iou in zip(names, ious):
+            print(f"  {name:<16s} IoU {iou * 100:6.2f}%")
     print(f"FINAL pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%")
 
 
