@@ -46,7 +46,7 @@ def main():
 
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "16,24,32").split(",")]
     iters = int(os.environ.get("BENCH_ITERS", "30"))
-    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
     best_fps, best_batch = 0.0, 0
     rng = np.random.default_rng(0)
     for batch in batches:

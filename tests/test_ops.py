@@ -93,3 +93,59 @@ def test_resize_nearest_matches_torch(rng):
         .numpy()
     )
     np.testing.assert_allclose(ours, theirs)
+
+
+@requires_torch
+def test_resize_fuzz_sweep(rng):
+    """Broad random shape sweep locking in PyTorch-exact resize semantics."""
+    import torch
+    import torch.nn.functional as F
+
+    for trial in range(25):
+        in_h = int(rng.integers(1, 40))
+        in_w = int(rng.integers(1, 40))
+        out_h = int(rng.integers(1, 70))
+        out_w = int(rng.integers(1, 70))
+        align = bool(rng.integers(0, 2))
+        x = rng.standard_normal((1, in_h, in_w, 2), dtype=np.float32)
+        ours = np.asarray(
+            resize_bilinear(jnp.asarray(x), (out_h, out_w), align_corners=align)
+        )
+        theirs = (
+            F.interpolate(
+                torch.from_numpy(x).permute(0, 3, 1, 2),
+                size=(out_h, out_w),
+                mode="bilinear",
+                align_corners=align,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(
+            ours, theirs, rtol=1e-4, atol=1e-5,
+            err_msg=f"trial {trial}: {in_h}x{in_w}->{out_h}x{out_w} align={align}",
+        )
+
+
+@requires_torch
+def test_adaptive_pool_fuzz_sweep(rng):
+    import torch
+
+    for trial in range(25):
+        in_h = int(rng.integers(1, 50))
+        in_w = int(rng.integers(1, 50))
+        out_h = int(rng.integers(1, min(in_h, 9) + 1))
+        out_w = int(rng.integers(1, min(in_w, 9) + 1))
+        x = rng.standard_normal((1, in_h, in_w, 3), dtype=np.float32)
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), (out_h, out_w)))
+        theirs = (
+            torch.nn.AdaptiveAvgPool2d((out_h, out_w))(
+                torch.from_numpy(x).permute(0, 3, 1, 2)
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(
+            ours, theirs, rtol=1e-5, atol=1e-6,
+            err_msg=f"trial {trial}: {in_h}x{in_w}->{out_h}x{out_w}",
+        )
