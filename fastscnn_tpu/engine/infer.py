@@ -135,9 +135,13 @@ class InferenceEngine:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # Batch over 'data'; optionally image H over 'space' for
+            # larger-than-HBM inputs (XLA SPMD inserts conv halo exchanges —
+            # SURVEY §5.7's spatial-parallel extension).
+            h_axis = "space" if self.mesh.shape.get("space", 1) > 1 else None
             return jax.jit(
                 fn,
-                in_shardings=NamedSharding(self.mesh, P("data", None, None, None)),
+                in_shardings=NamedSharding(self.mesh, P("data", h_axis, None, None)),
             )
         return jax.jit(fn)
 
