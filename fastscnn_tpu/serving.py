@@ -1,0 +1,290 @@
+"""Production-style batching inference server.
+
+The reference serves frames one at a time inside its dashboard loops;
+TPUs want batched, fixed-shape work. This server fronts an
+``InferenceEngine`` (or any ``predict(batch) -> masks`` callable) with a
+micro-batching queue: concurrent requests are grouped up to
+``max_batch`` or ``max_delay_ms`` (whichever first), padded to the fixed
+batch so ONE compiled executable serves every shape, and answered
+per-request.
+
+Routes (stdlib HTTP, threads):
+  POST /predict        image bytes (PNG/JPEG) → PNG palette mask
+                       (or JSON mask with Accept: application/json)
+  GET  /healthz        liveness
+  GET  /stats          request/batch/latency statistics
+
+Usage::
+
+    python -m fastscnn_tpu.serving --dataset citys \
+        --weights weights/fast_scnn_citys.pth --height 1024 --width 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import statistics
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+__all__ = ["BatchingPredictor", "ServingServer"]
+
+
+class _Request:
+    __slots__ = ("image", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.t_enqueue = time.perf_counter()
+
+
+class BatchingPredictor:
+    """Micro-batching wrapper around a ``predict(batch_u8_nhwc)`` callable."""
+
+    def __init__(
+        self,
+        predict_batch,
+        input_size: tuple[int, int],
+        max_batch: int = 8,
+        max_delay_ms: float = 5.0,
+        queue_size: int = 256,
+    ):
+        self.predict_batch = predict_batch
+        self.input_size = input_size
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "batch_sizes": [],
+            "latencies_ms": [],
+        }
+        self._thread.start()
+
+    # -- client side ----------------------------------------------------------
+    def predict(self, image: np.ndarray, timeout: float = 30.0) -> np.ndarray:
+        """Blocking single-image predict through the batching queue."""
+        h, w = self.input_size
+        if image.shape[:2] != (h, w):
+            from PIL import Image
+
+            image = np.asarray(
+                Image.fromarray(image).resize((w, h), Image.BILINEAR), np.uint8
+            )
+        req = _Request(image)
+        self.queue.put(req, timeout=timeout)
+        if not req.event.wait(timeout):
+            raise TimeoutError("predict timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # -- worker ----------------------------------------------------------------
+    def _worker(self):
+        h, w = self.input_size
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_delay
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = np.zeros((self.max_batch, h, w, 3), np.uint8)
+            for i, req in enumerate(batch):
+                images[i] = req.image
+            try:
+                masks = np.asarray(self.predict_batch(images))
+                err = None
+            except Exception as e:  # pragma: no cover
+                masks, err = None, e
+            now = time.perf_counter()
+            with self._lock:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["batch_sizes"].append(len(batch))
+                for req in batch:
+                    self.stats["latencies_ms"].append((now - req.t_enqueue) * 1e3)
+                if len(self.stats["latencies_ms"]) > 10000:
+                    self.stats["latencies_ms"] = self.stats["latencies_ms"][-5000:]
+                    self.stats["batch_sizes"] = self.stats["batch_sizes"][-5000:]
+            for i, req in enumerate(batch):
+                if err is not None:
+                    req.error = err
+                else:
+                    req.result = masks[i]
+                req.event.set()
+
+    def get_stats(self) -> dict:
+        with self._lock:
+            sizes = list(self.stats["batch_sizes"])
+            lats = list(self.stats["latencies_ms"])
+            out = {
+                "requests": self.stats["requests"],
+                "batches": self.stats["batches"],
+                "max_batch": self.max_batch,
+            }
+        if sizes:
+            out["mean_batch_size"] = statistics.mean(sizes)
+        if lats:
+            out["latency_ms_p50"] = statistics.median(lats)
+            out["latency_ms_p95"] = sorted(lats)[int(0.95 * (len(lats) - 1))]
+        return out
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
+class ServingServer:
+    def __init__(self, predictor: BatchingPredictor, palette_dataset="citys",
+                 host="0.0.0.0", port=8500):
+        self.predictor = predictor
+        self.palette_dataset = palette_dataset
+        self.host = host
+        self.port = port
+        self.httpd = None
+        self._thread = None
+
+    def _handler(server_self):
+        predictor = server_self.predictor
+        palette_dataset = server_self.palette_dataset
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, data, ctype, code=200):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(b'{"status":"ok"}', "application/json")
+                elif self.path == "/stats":
+                    self._send(
+                        json.dumps(predictor.get_stats()).encode(), "application/json"
+                    )
+                else:
+                    self._send(b'{"error":"not found"}', "application/json", 404)
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(b'{"error":"not found"}', "application/json", 404)
+                    return
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                body = self.rfile.read(length)
+                try:
+                    from PIL import Image
+
+                    image = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+                    mask = predictor.predict(image)
+                except Exception as e:
+                    self._send(
+                        json.dumps({"error": str(e)}).encode(), "application/json", 400
+                    )
+                    return
+                if "application/json" in (self.headers.get("Accept") or ""):
+                    self._send(
+                        json.dumps({"mask": mask.tolist()}).encode(), "application/json"
+                    )
+                else:
+                    from fastscnn_tpu.utils.visualize import get_color_pallete
+
+                    bio = io.BytesIO()
+                    get_color_pallete(mask.astype(np.uint8), palette_dataset).save(
+                        bio, "PNG"
+                    )
+                    self._send(bio.getvalue(), "image/png")
+
+        return Handler
+
+    def start(self):
+        self.httpd = ThreadingHTTPServer((self.host, self.port), self._handler())
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self):
+        if self.httpd:
+            self.httpd.shutdown()
+            self.httpd.server_close()
+            self.httpd = None
+        self.predictor.stop()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="fastscnn-tpu batching inference server")
+    parser.add_argument("--dataset", type=str, default="citys")
+    parser.add_argument("--weights", type=str, default=None)
+    parser.add_argument("--aux", action="store_true", default=False)
+    parser.add_argument("--height", type=int, default=1024)
+    parser.add_argument("--width", type=int, default=2048)
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--max-delay-ms", type=float, default=5.0)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8500)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, IMAGENET_MEAN, IMAGENET_STD, InferenceEngine
+    from fastscnn_tpu.models import DATASET_NUM_CLASSES, FastSCNN, init_fast_scnn
+    from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
+
+    num_classes = DATASET_NUM_CLASSES[args.dataset]
+    model = FastSCNN(num_classes=num_classes, aux=args.aux)
+    if args.weights:
+        params, state = load_pth_checkpoint(args.weights, num_classes, aux=args.aux or None)
+    else:
+        print("warning: random init")
+        params, state = init_fast_scnn(jax.random.PRNGKey(0), num_classes, args.aux)
+    mean, std = (
+        (IMAGENET_MEAN, IMAGENET_STD) if args.dataset != "custom" else (None, None)
+    )
+    engine = InferenceEngine(
+        model, params, state, config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype)
+    )
+    fn = engine.predict_fn((args.max_batch, args.height, args.width, 3))
+    predictor = BatchingPredictor(
+        lambda batch: fn(batch),
+        (args.height, args.width),
+        max_batch=args.max_batch,
+        max_delay_ms=args.max_delay_ms,
+    )
+    server = ServingServer(predictor, args.dataset, args.host, args.port)
+    port = server.start()
+    print(f"serving at http://{args.host}:{port}/predict (Ctrl-C to stop)")
+    try:
+        server._thread.join()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

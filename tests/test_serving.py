@@ -1,0 +1,135 @@
+"""Batching inference server: micro-batching behavior + HTTP surface."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fastscnn_tpu.serving import BatchingPredictor, ServingServer
+
+
+def _slow_predictor(calls):
+    """Fake batch predictor: mask = mean-intensity threshold; records batches."""
+
+    def predict(batch):
+        calls.append(batch.shape[0])
+        time.sleep(0.03)  # make batching worthwhile
+        return (batch.mean(axis=-1) > 127).astype(np.int32)
+
+    return predict
+
+
+def test_batching_groups_concurrent_requests():
+    calls = []
+    predictor = BatchingPredictor(
+        _slow_predictor(calls), input_size=(16, 16), max_batch=4, max_delay_ms=30
+    )
+    try:
+        images = [np.full((16, 16, 3), v, np.uint8) for v in (0, 255, 0, 255, 255, 0)]
+        results = [None] * len(images)
+
+        def call(i):
+            results[i] = predictor.predict(images[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(len(images))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, img in enumerate(images):
+            expected = 1 if img[0, 0, 0] > 127 else 0
+            assert (results[i] == expected).all()
+        stats = predictor.get_stats()
+        assert stats["requests"] == 6
+        # concurrency produced at least one multi-request batch
+        assert stats["batches"] < 6
+        assert stats["mean_batch_size"] > 1
+        assert "latency_ms_p50" in stats
+    finally:
+        predictor.stop()
+
+
+def test_predict_resizes_input():
+    predictor = BatchingPredictor(
+        lambda b: (b.mean(-1) > 127).astype(np.int32), input_size=(16, 16), max_batch=2,
+        max_delay_ms=1,
+    )
+    try:
+        big = np.full((64, 48, 3), 255, np.uint8)
+        mask = predictor.predict(big)
+        assert mask.shape == (16, 16)
+        assert (mask == 1).all()
+    finally:
+        predictor.stop()
+
+
+def test_http_server_roundtrip():
+    calls = []
+    predictor = BatchingPredictor(
+        _slow_predictor(calls), input_size=(16, 16), max_batch=4, max_delay_ms=10
+    )
+    server = ServingServer(predictor, palette_dataset="citys", host="127.0.0.1", port=0)
+    port = server.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        health = json.loads(urllib.request.urlopen(f"{base}/healthz", timeout=5).read())
+        assert health == {"status": "ok"}
+
+        img = Image.fromarray(np.full((16, 16, 3), 255, np.uint8))
+        bio = io.BytesIO()
+        img.save(bio, "PNG")
+
+        # PNG mask response
+        req = urllib.request.Request(f"{base}/predict", data=bio.getvalue(), method="POST")
+        resp = urllib.request.urlopen(req, timeout=10)
+        assert resp.headers["Content-Type"] == "image/png"
+        mask_img = Image.open(io.BytesIO(resp.read()))
+        assert mask_img.size == (16, 16)
+
+        # JSON mask response
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=bio.getvalue(),
+            method="POST",
+            headers={"Accept": "application/json"},
+        )
+        payload = json.loads(urllib.request.urlopen(req, timeout=10).read())
+        assert np.asarray(payload["mask"]).shape == (16, 16)
+
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats", timeout=5).read())
+        assert stats["requests"] >= 2
+
+        # malformed body → 400
+        req = urllib.request.Request(f"{base}/predict", data=b"not an image", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=5)
+        assert exc.value.code == 400
+    finally:
+        server.stop()
+
+
+def test_serving_with_real_engine():
+    """Full stack: BatchingPredictor over a real (random-weight) engine."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    model = FastSCNN(num_classes=2)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 2)
+    engine = InferenceEngine(model, params, state, config=E2EConfig(compute_dtype="float32"))
+    fn = engine.predict_fn((2, 32, 48, 3))
+    predictor = BatchingPredictor(lambda b: fn(b), input_size=(32, 48), max_batch=2,
+                                  max_delay_ms=5)
+    try:
+        rng = np.random.default_rng(0)
+        mask = predictor.predict(rng.integers(0, 255, (32, 48, 3)).astype(np.uint8))
+        assert mask.shape == (32, 48)
+        assert set(np.unique(mask)).issubset({0, 1})
+    finally:
+        predictor.stop()
