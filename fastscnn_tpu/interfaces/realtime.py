@@ -27,7 +27,13 @@ __all__ = ["FrameSource", "OpenCVCamera", "SyntheticCamera", "RealtimePipeline"]
 
 
 class FrameSource:
-    """Minimal camera interface: ``read() -> (ok, bgr_frame)``."""
+    """Minimal camera interface: ``read() -> (ok, bgr_frame)``.
+
+    Sources may set ``self.exhausted = True`` when the stream has ended
+    for good (video EOF, fixed frame budget) — the loop then terminates
+    instead of treating it as a transient camera failure."""
+
+    exhausted = False
 
     def read(self):  # pragma: no cover - interface
         raise NotImplementedError
@@ -74,6 +80,8 @@ class VideoFileCamera(FrameSource):
         if not ok and self.loop:
             self.cap.set(self._cv2.CAP_PROP_POS_FRAMES, 0)
             ok, frame = self.cap.read()
+        if not ok:
+            self.exhausted = True
         return ok, frame
 
     def release(self):
@@ -93,6 +101,7 @@ class SyntheticCamera(FrameSource):
     def read(self):
         self.i += 1
         if self.n_frames is not None and self.i > self.n_frames:
+            self.exhausted = True
             return False, None
         if self.fail_every and self.i % self.fail_every == 0:
             return False, None
@@ -179,9 +188,8 @@ class RealtimePipeline:
         self._apply_pending_params()
         ok, frame = self.camera.read()
         if not ok:
-            if self.camera is not None and getattr(self.camera, "n_frames", None) is not None:
-                if self.camera.i > self.camera.n_frames:
-                    return False
+            if getattr(self.camera, "exhausted", False):
+                return False
             self.camera_failures += 1
             time.sleep(0.01)
             return True
