@@ -111,9 +111,15 @@ class InferenceEngine:
             x = (x - mean) / std
         return x
 
-    def _forward(self, images: jnp.ndarray):
+    def _forward(self, images: jnp.ndarray, resize_back: bool = False):
         x = self._preprocess(images)
         logits = self.model.apply_folded(self.folded, x)[0]
+        if resize_back and logits.shape[1:3] != images.shape[1:3]:
+            # deployed-graph contract: logits back at the input resolution
+            # (reference:export_onnx_fixed.py:52-55, align_corners=False)
+            logits = resize_bilinear(
+                logits, (images.shape[1], images.shape[2]), align_corners=False
+            )
         return logits
 
     def _build_predict(self, shape):
@@ -167,10 +173,12 @@ class InferenceEngine:
         return self._predict_cache[shape]
 
     def logits(self, images) -> np.ndarray:
+        """Logits at the INPUT resolution (resized back when an internal
+        backbone resolution is configured) — the `.infer()` seam contract."""
         images = jnp.asarray(images)
         key = ("logits", images.shape)
         if key not in self._logits_cache:
-            self._logits_cache[key] = jax.jit(self._forward)
+            self._logits_cache[key] = jax.jit(lambda x: self._forward(x, resize_back=True))
         return np.asarray(self._logits_cache[key](images))
 
     def throughput_fn(self, shape, iters: int = 30):
