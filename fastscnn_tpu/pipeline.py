@@ -71,6 +71,11 @@ def inference_single_image(
     controller: VisualLateralErrorController | None = None,
     transformer: PerspectiveTransformer | None = None,
     pixels_per_unit: int = 20,
+    margin_ratio: float = 0.1,
+    path_smooth_method: str = "polynomial",
+    path_degree: int = 3,
+    num_waypoints: int = 20,
+    min_road_width: int = 10,
     edge_computing: bool = False,
     output_dir: str | None = None,
     basename: str = "result",
@@ -94,14 +99,20 @@ def inference_single_image(
         with timer.stage("bird_eye_transform"):
             transformer = transformer or PerspectiveTransformer()
             bev_img, bev_mask, view_params = transformer.transform_image_and_mask(
-                img_bgr, mask, pixels_per_unit=pixels_per_unit
+                img_bgr, mask, pixels_per_unit=pixels_per_unit, margin_ratio=margin_ratio
             )
         result.update(bird_eye_image=bev_img, bird_eye_mask=bev_mask, view_params=view_params)
 
         if save_control_map or enable_control:
             with timer.stage("path_planning"):
                 control_map, path_data = create_control_map(
-                    bev_mask, view_params, edge_computing=edge_computing
+                    bev_mask,
+                    view_params,
+                    path_smooth_method=path_smooth_method,
+                    path_degree=path_degree,
+                    num_waypoints=num_waypoints,
+                    min_road_width=min_road_width,
+                    edge_computing=edge_computing,
                 )
             result.update(control_map=control_map, path_data=path_data)
 
@@ -161,6 +172,12 @@ def parse_args(argv=None):
     parser.add_argument("--enable-control", action="store_true", default=True)
     parser.add_argument("--edge-computing", action="store_true", default=False)
     parser.add_argument("--pixels-per-unit", type=int, default=20)
+    parser.add_argument("--margin-ratio", type=float, default=0.1)
+    parser.add_argument("--path-smooth-method", default="polynomial",
+                        choices=["polynomial", "spline"])
+    parser.add_argument("--path-degree", type=int, default=3)
+    parser.add_argument("--num-waypoints", type=int, default=20)
+    parser.add_argument("--min-road-width", type=int, default=10)
     parser.add_argument("--calibration", type=str, default=None,
                         help="external calibration JSON (reference:onnx_bird_eye_inference.py "
                              "pattern); default: built-in corrected A4 calibration")
@@ -213,6 +230,11 @@ def main(argv=None):
         controller=controller,
         transformer=transformer,
         pixels_per_unit=args.pixels_per_unit,
+        margin_ratio=args.margin_ratio,
+        path_smooth_method=args.path_smooth_method,
+        path_degree=args.path_degree,
+        num_waypoints=args.num_waypoints,
+        min_road_width=args.min_road_width,
         edge_computing=args.edge_computing,
         output_dir=args.output_dir,
         basename=basename,
