@@ -32,7 +32,9 @@ __all__ = [
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "bridge.cpp")
-_SO = os.path.join(_HERE, "libserialbridge.so")
+# .bin (not .so) so packaging/import tooling never mistakes the
+# ctypes library for a Python extension module
+_SO = os.path.join(_HERE, "libserialbridge.bin")
 _LOCK = threading.Lock()
 _LIB = None
 
