@@ -44,18 +44,26 @@ def test_system_check_dataset_is_valid_cityscapes_tree(tmp_path):
     assert len(ds_val) == 2
 
 
-def test_atc_compat_model_differs_from_default():
-    """The ATC-compat graph must actually change the pyramid pooling."""
+def test_atc_compat_changes_pyramid_pooling():
+    """The ATC-compat knobs must actually change the PPM computation.
+
+    Probed at the PPM directly with a spatially-varied feature map —
+    full-network outputs at random init barely move because deep features
+    are near-constant spatially (pooling-grid changes then vanish)."""
     import jax
     import jax.numpy as jnp
 
     from fastscnn_tpu.models import FastSCNN, init_fast_scnn
 
     params, state = init_fast_scnn(jax.random.PRNGKey(0), 2)
+    ppm_p = params["global_feature_extractor"]["ppm"]
+    ppm_s = state["global_feature_extractor"]["ppm"]
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, 256, 256, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.standard_normal((1, 8, 8, 128)).astype(np.float32))
+
     default = FastSCNN(num_classes=2)
     atc = FastSCNN(num_classes=2, ppm_sizes=(1, 2, 4, 8), ppm_align_corners=False)
-    out_d, _ = default.apply(params, state, x)
-    out_a, _ = atc.apply(params, state, x)
-    assert not np.allclose(np.asarray(out_d[0]), np.asarray(out_a[0]), atol=1e-5)
+    out_d, _ = default._ppm(ppm_p, ppm_s, feat, training=False)
+    out_a, _ = atc._ppm(ppm_p, ppm_s, feat, training=False)
+    diff = float(np.abs(np.asarray(out_d) - np.asarray(out_a)).max())
+    assert diff > 1e-3, f"ATC PPM config had no effect (max diff {diff})"
