@@ -190,3 +190,83 @@ def test_annotation_server_roundtrip(tmp_path):
         assert listing[0]["has_mask"] is True
     finally:
         server.stop()
+
+
+def test_annotation_server_improved_features(tmp_path):
+    """Mask editing + auto-fill + batch ops — the improved_web_annotation
+    feature set (reference:improved_web_annotation.py:1-12)."""
+    import base64
+    import io
+    import urllib.error
+    import urllib.request
+
+    images = tmp_path / "images"
+    masks = tmp_path / "masks"
+    images.mkdir()
+    masks.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(images / "a.jpg")
+    # an exact duplicate image for the dedupe batch op
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(images / "b.jpg")
+    # an existing mask to load back for editing
+    m = np.zeros((8, 8), np.uint8)
+    m[2:4] = 255
+    Image.fromarray(m).save(masks / "a.png")
+
+    server = AnnotationServer(str(images), str(masks), host="127.0.0.1", port=0)
+    port = server.start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            method="POST",
+        )
+        return json.loads(urllib.request.urlopen(req, timeout=5).read())
+
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # existing mask loads as a red RGBA overlay
+        raw = urllib.request.urlopen(f"{base}/mask/a.jpg", timeout=5).read()
+        overlay = np.asarray(Image.open(io.BytesIO(raw)).convert("RGBA"))
+        assert (overlay[2:4, :, 3] == 255).all() and (overlay[2:4, :, 0] == 255).all()
+        assert (overlay[0, :, 3] == 0).all()
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"{base}/mask/nope.jpg", timeout=5)
+
+        # auto-fill: two vertical lane lines -> filled region between them
+        rgba = np.zeros((8, 8, 4), np.uint8)
+        rgba[:, 1, 3] = 255
+        rgba[:, 6, 3] = 255
+        bio = io.BytesIO()
+        Image.fromarray(rgba).save(bio, "PNG")
+        resp = post(
+            "/api/auto_fill",
+            {"mask_png_base64": base64.b64encode(bio.getvalue()).decode(), "dilate": 0},
+        )
+        filled = np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(resp["overlay_png_base64"])))
+        )
+        assert (filled[:, 1:7, 3] == 255).all()  # between-lines region filled
+        assert (filled[:, 0, 3] == 0).all()
+
+        # batch: delete mask
+        resp = post("/api/batch", {"op": "delete_mask", "name": "a.jpg"})
+        assert "deleted" in resp["status"]
+        assert not (masks / "a.png").exists()
+
+        # batch: dedupe removes the duplicate image
+        resp = post("/api/batch", {"op": "dedupe"})
+        assert "1 duplicate" in resp["status"]
+        assert (images / "a.jpg").exists() and not (images / "b.jpg").exists()
+
+        # batch: lane2drivable over all saved masks
+        lane = np.zeros((8, 8), np.uint8)
+        lane[:, 2] = 255
+        lane[:, 5] = 255
+        Image.fromarray(lane).save(masks / "c.png")
+        resp = post("/api/batch", {"op": "lane2drivable_all"})
+        assert "converted 1" in resp["status"]
+        conv = np.asarray(Image.open(masks / "c.png"))
+        assert (conv[:, 2:6] == 255).all()
+    finally:
+        server.stop()
