@@ -6,7 +6,10 @@ TPUs want batched, fixed-shape work. This server fronts an
 micro-batching queue: concurrent requests are grouped up to
 ``max_batch`` or ``max_delay_ms`` (whichever first), padded to the fixed
 batch so ONE compiled executable serves every shape, and answered
-per-request.
+per-request. Dispatch and device→host gather run in separate threads
+(JAX dispatch is async), so batch i+1 computes on the TPU while batch i
+is distributed to its callers; ``--data-parallel N`` shards each batch
+across N chips over a 'data' mesh axis.
 
 Routes (stdlib HTTP, threads):
   POST /predict        image bytes (PNG/JPEG) → PNG palette mask
@@ -48,7 +51,14 @@ class _Request:
 
 
 class BatchingPredictor:
-    """Micro-batching wrapper around a ``predict(batch_u8_nhwc)`` callable."""
+    """Micro-batching wrapper around a ``predict(batch_u8_nhwc)`` callable.
+
+    Two-stage pipeline: a *dispatcher* thread groups requests and launches
+    the accelerator program (JAX dispatch is asynchronous — the call
+    returns a future-like device array), and a *completion* thread blocks
+    on device→host transfer and answers requests. The bounded hand-off
+    queue (``pipeline_depth``) lets batch i+1 compute on-device while
+    batch i is still being gathered and distributed on the host."""
 
     def __init__(
         self,
@@ -57,14 +67,15 @@ class BatchingPredictor:
         max_batch: int = 8,
         max_delay_ms: float = 5.0,
         queue_size: int = 256,
+        pipeline_depth: int = 2,
     ):
         self.predict_batch = predict_batch
         self.input_size = input_size
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
         self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._inflight: queue.Queue = queue.Queue(maxsize=max(1, pipeline_depth))
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
         self._lock = threading.Lock()
         self.stats = {
             "requests": 0,
@@ -72,7 +83,10 @@ class BatchingPredictor:
             "batch_sizes": [],
             "latencies_ms": [],
         }
-        self._thread.start()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop, daemon=True)
+        self._dispatcher.start()
+        self._completer.start()
 
     # -- client side ----------------------------------------------------------
     def predict(self, image: np.ndarray, timeout: float = 30.0) -> np.ndarray:
@@ -92,8 +106,8 @@ class BatchingPredictor:
             raise req.error
         return req.result
 
-    # -- worker ----------------------------------------------------------------
-    def _worker(self):
+    # -- pipeline stages --------------------------------------------------------
+    def _dispatch_loop(self):
         h, w = self.input_size
         while not self._stop.is_set():
             try:
@@ -114,10 +128,24 @@ class BatchingPredictor:
             for i, req in enumerate(batch):
                 images[i] = req.image
             try:
-                masks = np.asarray(self.predict_batch(images))
-                err = None
+                # Asynchronous under JAX: returns a device array future;
+                # compute proceeds while we collect the next batch.
+                result, err = self.predict_batch(images), None
             except Exception as e:  # pragma: no cover
-                masks, err = None, e
+                result, err = None, e
+            self._inflight.put((batch, result, err))
+
+    def _complete_loop(self):
+        while not self._stop.is_set():
+            try:
+                batch, result, err = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if err is None:
+                try:
+                    masks = np.asarray(result)  # blocks on device→host
+                except Exception as e:  # pragma: no cover
+                    masks, err = None, e
             now = time.perf_counter()
             with self._lock:
                 self.stats["requests"] += len(batch)
@@ -153,7 +181,8 @@ class BatchingPredictor:
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=2)
+        self._dispatcher.join(timeout=2)
+        self._completer.join(timeout=2)
 
 
 class ServingServer:
@@ -246,6 +275,11 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=2048)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--max-delay-ms", type=float, default=5.0)
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="in-flight batches (device compute / host gather overlap)")
+    parser.add_argument("--data-parallel", type=int, default=1,
+                        help="shard each batch over this many chips ('data' mesh axis); "
+                        "max-batch must be divisible by it")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--dtype", type=str, default="bfloat16")
@@ -267,8 +301,20 @@ def main(argv=None):
     mean, std = (
         (IMAGENET_MEAN, IMAGENET_STD) if args.dataset != "custom" else (None, None)
     )
+    mesh = None
+    if args.data_parallel > 1:
+        from jax.sharding import Mesh
+
+        if args.max_batch % args.data_parallel:
+            parser.error("--max-batch must be divisible by --data-parallel")
+        devices = jax.devices()[: args.data_parallel]
+        if len(devices) < args.data_parallel:
+            parser.error(f"only {len(devices)} device(s) visible")
+        mesh = Mesh(np.asarray(devices), ("data",))
     engine = InferenceEngine(
-        model, params, state, config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype)
+        model, params, state,
+        config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype),
+        mesh=mesh,
     )
     fn = engine.predict_fn((args.max_batch, args.height, args.width, 3))
     predictor = BatchingPredictor(
@@ -276,6 +322,7 @@ def main(argv=None):
         (args.height, args.width),
         max_batch=args.max_batch,
         max_delay_ms=args.max_delay_ms,
+        pipeline_depth=args.pipeline_depth,
     )
     server = ServingServer(predictor, args.dataset, args.host, args.port)
     port = server.start()
