@@ -43,8 +43,9 @@ def parse_args(argv=None):
     parser.add_argument("--optimizer", type=str, default="sgd", choices=["sgd", "adamw"])
     parser.add_argument("--loss-type", type=str, default="dice",
                         choices=["dice", "focal_dice", "ce", "ce_plain"])
-    parser.add_argument("--fp16", action="store_true", default=True,
-                        help="bf16 compute on TPU (kept for flag parity)")
+    parser.add_argument("--fp16", action=argparse.BooleanOptionalAction, default=True,
+                        help="bf16 compute on TPU (kept for flag parity; "
+                        "--no-fp16 trains in full f32)")
     parser.add_argument("--resume", type=str, default=None,
                         help=".pth (weights) or .npz (full state) checkpoint")
     parser.add_argument("--auto-resume", action="store_true", default=False,
@@ -228,8 +229,12 @@ class Trainer:
             aux_weight=args.aux_weight,
             num_classes=self.num_classes,
         )
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
         self.train_step = make_train_step(
-            self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std
+            self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std,
+            compute_dtype=compute_dtype,
         )
         self.eval_step = make_eval_step(
             self.model, self.num_classes, mesh=None, mean=mean, std=std
@@ -238,6 +243,7 @@ class Trainer:
         self.monitor = TrainingMonitor(
             f"logs/training_log_{args.dataset}.json",
             experiment_name=f"fast_scnn_{args.dataset}",
+            resume=bool(args.resume or args.auto_resume),
         )
         self._rng_key = jax.random.PRNGKey(args.seed + 1)
 

@@ -18,14 +18,19 @@ __all__ = ["TrainingMonitor"]
 
 
 class TrainingMonitor:
-    def __init__(self, log_path: str, experiment_name: str = "fast_scnn"):
+    def __init__(self, log_path: str, experiment_name: str = "fast_scnn",
+                 resume: bool = False):
+        """``resume=True`` continues an existing JSON log (checkpoint
+        resume); a fresh run starts a fresh history — the reference
+        timestamps each run's log file for the same reason
+        (reference:training_visualizer.py:23-28)."""
         self.log_path = log_path
         self.experiment_name = experiment_name
         self.records: list[dict] = []
         self.best = {"metric": -1.0, "epoch": -1}
         self.start_time = time.time()
         os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
-        if os.path.exists(log_path):
+        if resume and os.path.exists(log_path):
             try:
                 with open(log_path) as f:
                     self.records = json.load(f)
