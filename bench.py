@@ -28,6 +28,9 @@ import numpy as np
 
 
 def main():
+    from fastscnn_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from fastscnn_tpu.engine import E2EConfig, IMAGENET_MEAN, IMAGENET_STD, InferenceEngine

@@ -177,6 +177,9 @@ _CITYS_CLASSES = (
 
 
 def main(argv=None):
+    from fastscnn_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     evaluator = Evaluator(args)
     pix_acc, miou = evaluator.eval()

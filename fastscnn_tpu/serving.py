@@ -267,6 +267,9 @@ class ServingServer:
 
 
 def main(argv=None):
+    from fastscnn_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="fastscnn-tpu batching inference server")
     parser.add_argument("--dataset", type=str, default="citys")
     parser.add_argument("--weights", type=str, default=None)

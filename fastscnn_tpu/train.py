@@ -338,6 +338,9 @@ class Trainer:
 
 
 def main(argv=None):
+    from fastscnn_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     trainer = Trainer(args)
     if args.eval:

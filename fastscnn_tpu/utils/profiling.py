@@ -12,7 +12,7 @@ from __future__ import annotations
 import time
 from contextlib import contextmanager
 
-__all__ = ["PerfTimer"]
+__all__ = ["PerfTimer", "enable_compilation_cache"]
 
 
 class PerfTimer:
@@ -54,3 +54,32 @@ class PerfTimer:
 
     def print_performance_analysis(self, title: str = "Performance analysis"):
         print(self.report(title))
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent XLA compilation cache.
+
+    First compilation of each (program, shape) costs 20-40 s through
+    this sandbox's TPU relay; the persistent cache reuses compiled
+    executables across processes, so repeat CLI/bench invocations start
+    hot. No-op when ``FASTSCNN_NO_COMPILATION_CACHE`` is set or the
+    backend refuses serialization (returns None then).
+    """
+    import os
+
+    if os.environ.get("FASTSCNN_NO_COMPILATION_CACHE"):
+        return None
+    path = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/fastscnn_tpu/xla")
+    )
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return path
+    except Exception:
+        return None
