@@ -28,9 +28,6 @@ import numpy as np
 
 
 def main():
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     import jax
 
     from fastscnn_tpu.engine import E2EConfig, IMAGENET_MEAN, IMAGENET_STD, InferenceEngine
@@ -71,6 +68,13 @@ def main():
         print(f"batch {batch}: {fps:.1f} fps ({1e3 * dt:.2f} ms/iter)", file=sys.stderr)
         if fps > best_fps:
             best_fps, best_batch = fps, batch
+        profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+        if profile_dir:
+            from fastscnn_tpu.utils.profiling import device_trace
+
+            with device_trace(os.path.join(profile_dir, f"batch{batch}")):
+                _ = np.asarray(fn(x))
+            print(f"profile trace → {profile_dir}/batch{batch}", file=sys.stderr)
     print(
         json.dumps(
             {

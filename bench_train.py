@@ -20,9 +20,6 @@ import numpy as np
 
 
 def main():
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -68,9 +68,6 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
     from fastscnn_tpu.control import VisualLateralErrorController
     from fastscnn_tpu.pipeline import build_session

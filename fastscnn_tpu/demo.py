@@ -26,9 +26,6 @@ def parse_args(argv=None):
 
 
 def demo(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
     if args.cpu:
         import jax

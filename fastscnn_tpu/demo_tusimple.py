@@ -25,9 +25,6 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
     import jax
     from PIL import Image

@@ -27,6 +27,11 @@ import jax.numpy as jnp
 from fastscnn_tpu.models.fast_scnn import FastSCNN, fold_inference_params
 from fastscnn_tpu.ops.resize import resize_bilinear, resize_nearest
 
+from fastscnn_tpu.utils.profiling import enable_compilation_cache
+
+# Persistent XLA compilation cache: on for every compute path.
+enable_compilation_cache()
+
 __all__ = ["InferenceEngine", "E2EConfig", "IMAGENET_MEAN", "IMAGENET_STD"]
 
 # Training-side normalization for citys/tusimple/bdd100k

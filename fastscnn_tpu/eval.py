@@ -177,9 +177,6 @@ _CITYS_CLASSES = (
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
     evaluator = Evaluator(args)
     pix_acc, miou = evaluator.eval()

@@ -31,6 +31,11 @@ from fastscnn_tpu.engine.infer import IMAGENET_MEAN, IMAGENET_STD
 from fastscnn_tpu.models.fast_scnn import FastSCNN
 from fastscnn_tpu.utils.metric import seg_hist_update
 
+from fastscnn_tpu.utils.profiling import enable_compilation_cache
+
+# Persistent XLA compilation cache: on for every compute path.
+enable_compilation_cache()
+
 __all__ = [
     "TrainState",
     "create_train_state",

@@ -193,9 +193,6 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
     try:
         import cv2

@@ -133,13 +133,33 @@ class BatchingPredictor:
                 result, err = self.predict_batch(images), None
             except Exception as e:  # pragma: no cover
                 result, err = None, e
-            self._inflight.put((batch, result, err))
+            while not self._stop.is_set():
+                try:
+                    self._inflight.put((batch, result, err), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            else:  # shutting down with a full pipeline: fail this batch
+                self._fail_batch(batch, RuntimeError("predictor stopped"))
+
+    @staticmethod
+    def _fail_batch(batch, exc):
+        for req in batch:
+            req.error = exc
+            req.event.set()
 
     def _complete_loop(self):
-        while not self._stop.is_set():
+        while True:
             try:
                 batch, result, err = self._inflight.get(timeout=0.1)
             except queue.Empty:
+                if self._stop.is_set():
+                    return  # queue drained and stopping
+                continue
+            if self._stop.is_set():
+                # shutting down: answer immediately instead of paying the
+                # device->host gather for work nobody is waiting on
+                self._fail_batch(batch, RuntimeError("predictor stopped"))
                 continue
             if err is None:
                 try:
@@ -183,6 +203,14 @@ class BatchingPredictor:
         self._stop.set()
         self._dispatcher.join(timeout=2)
         self._completer.join(timeout=2)
+        # answer anything still queued so clients fail fast, not by timeout
+        while True:
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = RuntimeError("predictor stopped")
+            req.event.set()
 
 
 class ServingServer:
@@ -267,9 +295,6 @@ class ServingServer:
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="fastscnn-tpu batching inference server")
     parser.add_argument("--dataset", type=str, default="citys")
     parser.add_argument("--weights", type=str, default=None)
@@ -294,6 +319,17 @@ def main(argv=None):
     from fastscnn_tpu.models import DATASET_NUM_CLASSES, FastSCNN, init_fast_scnn
     from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
 
+    mesh = None
+    if args.data_parallel > 1:  # validate before the expensive weight load
+        from jax.sharding import Mesh
+
+        if args.max_batch % args.data_parallel:
+            parser.error("--max-batch must be divisible by --data-parallel")
+        devices = jax.devices()[: args.data_parallel]
+        if len(devices) < args.data_parallel:
+            parser.error(f"only {len(devices)} device(s) visible")
+        mesh = Mesh(np.asarray(devices), ("data",))
+
     num_classes = DATASET_NUM_CLASSES[args.dataset]
     model = FastSCNN(num_classes=num_classes, aux=args.aux)
     if args.weights:
@@ -304,16 +340,6 @@ def main(argv=None):
     mean, std = (
         (IMAGENET_MEAN, IMAGENET_STD) if args.dataset != "custom" else (None, None)
     )
-    mesh = None
-    if args.data_parallel > 1:
-        from jax.sharding import Mesh
-
-        if args.max_batch % args.data_parallel:
-            parser.error("--max-batch must be divisible by --data-parallel")
-        devices = jax.devices()[: args.data_parallel]
-        if len(devices) < args.data_parallel:
-            parser.error(f"only {len(devices)} device(s) visible")
-        mesh = Mesh(np.asarray(devices), ("data",))
     engine = InferenceEngine(
         model, params, state,
         config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype),

@@ -108,7 +108,11 @@ function step(d){
 }
 function drawOverlay(src){
   const m=new Image();
-  m.onload=()=>{ ctx.clearRect(0,0,paint.width,paint.height); ctx.drawImage(m,0,0); };
+  m.onload=()=>{
+    snapshot();  // strokes drawn before the overlay decoded stay undoable
+    ctx.clearRect(0,0,paint.width,paint.height); ctx.drawImage(m,0,0);
+    if(src.startsWith('blob:')) URL.revokeObjectURL(src);
+  };
   m.src=src;
 }
 function loadSelected(){
@@ -189,8 +193,8 @@ def save_mask_from_base64(png_b64: str, out_path: str) -> int:
     return int((mask > 0).sum())
 
 
-def mask_to_overlay_png_b64(mask: np.ndarray) -> str:
-    """Binary mask → red RGBA overlay PNG (base64) the canvas can draw."""
+def mask_to_overlay_png_bytes(mask: np.ndarray) -> bytes:
+    """Binary mask → red RGBA overlay PNG bytes the canvas can draw."""
     h, w = mask.shape
     rgba = np.zeros((h, w, 4), np.uint8)
     fg = mask > 0
@@ -198,7 +202,11 @@ def mask_to_overlay_png_b64(mask: np.ndarray) -> str:
     rgba[fg, 3] = 255
     bio = io.BytesIO()
     Image.fromarray(rgba).save(bio, "PNG")
-    return base64.b64encode(bio.getvalue()).decode()
+    return bio.getvalue()
+
+
+def mask_to_overlay_png_b64(mask: np.ndarray) -> str:
+    return base64.b64encode(mask_to_overlay_png_bytes(mask)).decode()
 
 
 def auto_fill_from_base64(png_b64: str, dilate_iterations: int = 2) -> tuple[str, int]:
@@ -244,6 +252,15 @@ class AnnotationServer:
                 self._send(json.dumps(obj).encode(), "application/json", code)
 
             def do_GET(self):
+                try:
+                    self._do_get()
+                except Exception as e:  # corrupt file etc. → 400, not a dropped socket
+                    try:
+                        self._send_json({"status": f"error: {e}"}, 400)
+                    except Exception:
+                        pass
+
+            def _do_get(self):
                 if self.path == "/":
                     self._send(_PAGE.encode(), "text/html")
                 elif self.path == "/api/images":
@@ -274,8 +291,7 @@ class AnnotationServer:
                     path = os.path.join(masks_dir, base + ".png")
                     if os.path.exists(path):
                         mask = np.asarray(Image.open(path).convert("L"))
-                        overlay = base64.b64decode(mask_to_overlay_png_b64(mask))
-                        self._send(overlay, "image/png")
+                        self._send(mask_to_overlay_png_bytes(mask), "image/png")
                     else:
                         self._send_json({}, 404)
                 else:
@@ -312,7 +328,33 @@ class AnnotationServer:
                     if op == "dedupe":
                         dups = dedupe_images(images_dir, delete=True)
                         total = sum(len(v) for v in dups.values())
-                        self._send_json({"status": f"deleted {total} duplicate images"})
+                        # keep annotation work: remap a deleted duplicate's
+                        # mask onto the kept image (or drop it if the kept
+                        # image already has one)
+                        remapped = 0
+                        for kept, removed in dups.items():
+                            kept_mask = os.path.join(
+                                masks_dir,
+                                os.path.splitext(os.path.basename(kept))[0] + ".png",
+                            )
+                            for dup in removed:
+                                dup_mask = os.path.join(
+                                    masks_dir,
+                                    os.path.splitext(os.path.basename(dup))[0] + ".png",
+                                )
+                                if not os.path.exists(dup_mask):
+                                    continue
+                                if os.path.exists(kept_mask):
+                                    os.remove(dup_mask)
+                                else:
+                                    os.rename(dup_mask, kept_mask)
+                                    remapped += 1
+                        self._send_json(
+                            {
+                                "status": f"deleted {total} duplicate images"
+                                + (f", remapped {remapped} masks" if remapped else "")
+                            }
+                        )
                     elif op == "delete_mask":
                         name = os.path.basename(payload.get("name") or "")
                         base = os.path.splitext(name)[0]

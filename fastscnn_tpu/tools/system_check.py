@@ -66,9 +66,6 @@ def generate_dataset(root: str, n_train=24, n_val=4, height=128, width=256, seed
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="fastscnn-tpu end-to-end system check")
     parser.add_argument("--epochs", type=int, default=60)
     parser.add_argument("--quick", action="store_true", help="2 epochs, skip torch cross-check")

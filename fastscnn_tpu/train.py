@@ -205,9 +205,11 @@ class Trainer:
             candidate = os.path.join(args.save_folder, f"train_state_{args.dataset}.npz")
             if os.path.exists(candidate):
                 args.resume = candidate
+        resumed_run = False  # continuing the SAME run (full-state restore)?
         if args.resume:
             if args.resume.endswith(".npz"):
                 self.state = load_train_state(args.resume, self.state)
+                resumed_run = True
                 # continue from the epoch implied by the restored step
                 args.start_epoch = max(
                     args.start_epoch, int(self.state.step) // self.iters_per_epoch
@@ -237,13 +239,17 @@ class Trainer:
             compute_dtype=compute_dtype,
         )
         self.eval_step = make_eval_step(
-            self.model, self.num_classes, mesh=None, mean=mean, std=std
+            self.model, self.num_classes, mesh=None, mean=mean, std=std,
+            compute_dtype=compute_dtype,
         )
         os.makedirs("logs", exist_ok=True)
+        # Monitor history continues only when this is actually the same run
+        # (full-state restore) — a weights-only .pth resume is transfer
+        # learning and a missed --auto-resume probe is a fresh run.
         self.monitor = TrainingMonitor(
             f"logs/training_log_{args.dataset}.json",
             experiment_name=f"fast_scnn_{args.dataset}",
-            resume=bool(args.resume or args.auto_resume),
+            resume=resumed_run,
         )
         self._rng_key = jax.random.PRNGKey(args.seed + 1)
 
@@ -338,9 +344,6 @@ class Trainer:
 
 
 def main(argv=None):
-    from fastscnn_tpu.utils.profiling import enable_compilation_cache
-
-    enable_compilation_cache()
     args = parse_args(argv)
     trainer = Trainer(args)
     if args.eval:

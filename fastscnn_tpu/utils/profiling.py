@@ -12,7 +12,7 @@ from __future__ import annotations
 import time
 from contextlib import contextmanager
 
-__all__ = ["PerfTimer", "enable_compilation_cache"]
+__all__ = ["PerfTimer", "enable_compilation_cache", "device_trace"]
 
 
 class PerfTimer:
@@ -56,18 +56,27 @@ class PerfTimer:
         print(self.report(title))
 
 
+_CACHE_ENABLED: list = []
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
-    """Turn on JAX's persistent XLA compilation cache.
+    """Turn on JAX's persistent XLA compilation cache (idempotent).
 
     First compilation of each (program, shape) costs 20-40 s through
     this sandbox's TPU relay; the persistent cache reuses compiled
     executables across processes, so repeat CLI/bench invocations start
-    hot. No-op when ``FASTSCNN_NO_COMPILATION_CACHE`` is set or the
-    backend refuses serialization (returns None then).
+    hot. Called automatically when the inference engine or the sharded
+    train-step modules load. No-op when ``FASTSCNN_NO_COMPILATION_CACHE``
+    is set truthy or the backend refuses serialization (returns None).
     """
     import os
 
-    if os.environ.get("FASTSCNN_NO_COMPILATION_CACHE"):
+    if _CACHE_ENABLED:
+        return _CACHE_ENABLED[0]
+
+    if os.environ.get("FASTSCNN_NO_COMPILATION_CACHE", "").lower() not in (
+        "", "0", "false", "no",
+    ):
         return None
     path = (
         path
@@ -80,6 +89,22 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED.append(path)
         return path
     except Exception:
         return None
+
+
+@contextmanager
+def device_trace(outdir: str):
+    """Capture a ``jax.profiler`` device trace (XPlane/TensorBoard format)
+    for everything executed inside the block — the TPU-native analogue of
+    the reference's wall-clock stage timers for *inside-the-program*
+    analysis (view with TensorBoard's profile plugin or xprof)."""
+    import jax
+
+    jax.profiler.start_trace(outdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

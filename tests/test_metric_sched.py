@@ -68,3 +68,17 @@ def test_metric_streaming_equals_oneshot(rng):
     for i in range(8):
         m2.update(pred[i], target[i])
     assert m1.get() == m2.get()
+
+
+def test_training_monitor_fresh_vs_resume(tmp_path):
+    """A fresh run ignores an existing log; resume=True continues it
+    (reference starts a fresh timestamped log per run)."""
+    from fastscnn_tpu.utils.monitor import TrainingMonitor
+
+    log = str(tmp_path / "log.json")
+    m1 = TrainingMonitor(log, resume=False)
+    m1.log_epoch(0, train_loss=1.0, lr=0.01, pix_acc=0.9, miou=0.5)
+    m2 = TrainingMonitor(log, resume=False)
+    assert m2.records == [] and m2.best["epoch"] == -1
+    m3 = TrainingMonitor(log, resume=True)
+    assert len(m3.records) == 1

@@ -223,3 +223,45 @@ def test_serving_main_data_parallel_smoke(tmp_path):
         assert np.asarray(resp["mask"]).shape == (32, 32)
     finally:
         server.stop()
+
+
+def test_stop_with_full_pipeline_fails_fast_and_joins():
+    """stop() while the completer is wedged must not hang the dispatcher
+    or leave queued clients waiting out their full timeout."""
+
+    class NeverReady:
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(5.0)  # wedged device->host gather
+            return np.zeros((1, 4, 4), np.int32)
+
+    predictor = BatchingPredictor(
+        lambda b: NeverReady(), input_size=(4, 4), max_batch=1, max_delay_ms=1,
+        pipeline_depth=1,
+    )
+    img = np.zeros((4, 4, 3), np.uint8)
+    errors = []
+
+    def call():
+        try:
+            predictor.predict(img, timeout=8.0)
+        except Exception as e:
+            errors.append(e)
+
+    # enough requests to fill: 1 gathering + 1 inflight + 1 blocking put + queued
+    threads = [threading.Thread(target=call) for _ in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(0.5)  # let the pipeline wedge
+    t0 = time.perf_counter()
+    predictor.stop()
+    stop_took = time.perf_counter() - t0
+    for t in threads:
+        t.join(timeout=10)
+    assert not any(t.is_alive() for t in threads)
+    # stop() returns promptly (bounded by the join timeouts, not the 5 s gather)
+    assert stop_took < 5.0, stop_took
+    # nobody waited out the 8 s client timeout: the batch mid-gather may
+    # still complete with a result; everyone else fails fast
+    assert not any(isinstance(e, TimeoutError) for e in errors), errors
+    assert len(errors) >= 3
+    assert all(isinstance(e, RuntimeError) for e in errors), errors

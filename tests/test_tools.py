@@ -270,3 +270,38 @@ def test_annotation_server_improved_features(tmp_path):
         assert (conv[:, 2:6] == 255).all()
     finally:
         server.stop()
+
+
+def test_dedupe_batch_op_remaps_orphan_masks(tmp_path):
+    """Deleting a duplicate image must not orphan its annotation: the mask
+    moves to the kept image (or is dropped if the kept one has a mask)."""
+    import urllib.request
+
+    images = tmp_path / "images"
+    masks = tmp_path / "masks"
+    images.mkdir()
+    masks.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(images / "a.jpg")
+    import shutil
+
+    shutil.copy(images / "a.jpg", images / "b.jpg")  # byte-identical dup
+    m = np.zeros((8, 8), np.uint8)
+    m[1:3] = 255
+    Image.fromarray(m).save(masks / "b.png")  # only the DUP was annotated
+
+    server = AnnotationServer(str(images), str(masks), host="127.0.0.1", port=0)
+    port = server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/batch",
+            data=json.dumps({"op": "dedupe"}).encode(),
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req, timeout=5).read())
+        assert "remapped 1 masks" in resp["status"]
+        assert not (images / "b.jpg").exists()
+        assert not (masks / "b.png").exists()
+        remapped = np.asarray(Image.open(masks / "a.png"))
+        assert (remapped[1:3] == 255).all()
+    finally:
+        server.stop()
