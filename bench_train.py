@@ -51,7 +51,12 @@ def main():
 
             def loss_of(params):
                 cast = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
-                outputs, new_ms = model.apply(cast, state.model_state, x, training=True, rng=key)
+                # Same contract as parallel.train.make_train_step: low-res
+                # logits out of the net, the loss upsamples internally.
+                outputs, new_ms = model.apply(
+                    cast, state.model_state, x, training=True, rng=key,
+                    upsample_outputs=False,
+                )
                 return loss_fn(outputs, targets).astype(jnp.float32), new_ms
 
             (loss, new_ms), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from fastscnn_tpu.ops.resize import resize_bilinear
+
 __all__ = [
     "dice_loss",
     "mix_dice_loss",
@@ -41,18 +43,48 @@ CITYSCAPES_CLASS_WEIGHTS = (
 )
 
 
+def _match_resolution(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Losses accept logits at any spatial resolution: when it differs from
+    the target's, the network's final ``align_corners=True`` upsample
+    (reference:models/fast_scnn.py:40) happens here inside the loss. This
+    lets the train step ask the model for LOW-RES logits
+    (``apply(..., upsample_outputs=False)``) so narrow-C algebraic
+    shortcuts below can avoid ever materializing the full-resolution
+    class-minor tensor, which TPU lane-pads 64× at C=2."""
+    if logits.ndim == 4 and target.ndim >= 3 and logits.shape[1:3] != target.shape[1:3]:
+        logits = resize_bilinear(logits, target.shape[1:3], align_corners=True)
+    return logits
+
+
+def _binary_diff_at_target_res(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """(N, h, w, 2) logits → (N, H, W) class-1-minus-class-0 logit at the
+    target resolution. Exact: ``softmax(z)[..., 1] == sigmoid(z1 - z0)``
+    and bilinear resizing is linear, so resizing the single-channel
+    difference equals differencing the resized channels — while the
+    channel-free 3-D tensor has a clean (8, 128) layout (no lane padding)
+    and its resize backward is 2 channels cheaper."""
+    d = (logits[..., 1] - logits[..., 0]).astype(jnp.float32)
+    if target.ndim >= 3 and d.shape[1:3] != target.shape[1:3]:
+        d = resize_bilinear(d, target.shape[1:3], align_corners=True, h_axis=1, w_axis=2)
+    return d
+
+
 def dice_loss(logits: jnp.ndarray, target: jnp.ndarray, smooth: float = 1e-6) -> jnp.ndarray:
     """Binary Dice on the class-1 probability (reference:utils/loss.py:12-39).
 
     Multi-channel logits → softmax class-1 prob; single-channel → sigmoid.
     """
-    lf = logits.astype(jnp.float32)
-    if logits.ndim == 4 and logits.shape[-1] > 1:
-        prob = jax.nn.softmax(lf, axis=-1)[..., 1]
-    elif logits.ndim == 4:
-        prob = jax.nn.sigmoid(lf[..., 0])
+    if logits.ndim == 4 and logits.shape[-1] == 2:
+        prob = jax.nn.sigmoid(_binary_diff_at_target_res(logits, target))
     else:
-        prob = jax.nn.sigmoid(lf)
+        logits = _match_resolution(logits, target)
+        lf = logits.astype(jnp.float32)
+        if logits.ndim == 4 and logits.shape[-1] > 1:
+            prob = jax.nn.softmax(lf, axis=-1)[..., 1]
+        elif logits.ndim == 4:
+            prob = jax.nn.sigmoid(lf[..., 0])
+        else:
+            prob = jax.nn.sigmoid(lf)
     p = prob.reshape(-1)
     t = target.reshape(-1).astype(jnp.float32)
     inter = jnp.sum(p * t)
@@ -94,6 +126,16 @@ def focal_dice_loss(
     smooth: float = 1e-6,
 ):
     """(1-dw)·focal + dw·dice (reference:utils/loss.py:71-100)."""
+    if logits.ndim == 4 and logits.shape[-1] == 2:
+        # 2-class CE via the logit difference: -log softmax(z)[t] ==
+        # -log_sigmoid((2t-1)·(z1-z0)) — channel-free at full res.
+        d = _binary_diff_at_target_res(logits, target)
+        sign = 2.0 * target.astype(jnp.float32) - 1.0
+        ce = -jax.nn.log_sigmoid(sign * d)
+        pt = jnp.exp(-ce)
+        focal = jnp.mean(alpha * (1 - pt) ** gamma * ce)
+        return (1 - dice_weight) * focal + dice_weight * dice_loss(logits, target, smooth)
+    logits = _match_resolution(logits, target)
     lf = logits.astype(jnp.float32)
     if logits.ndim == 4 and logits.shape[-1] > 1:
         ce = _per_pixel_ce(lf, target)
@@ -114,6 +156,7 @@ def cross_entropy_loss(
     """CE with ignore label and optional class weights; weighted-mean
     reduction exactly as ``torch.nn.CrossEntropyLoss`` (denominator = sum
     of kept-pixel weights)."""
+    logits = _match_resolution(logits, target)
     valid = (target != ignore_label).astype(jnp.float32)
     ce = _per_pixel_ce(logits, target)
     if class_weights is not None:
@@ -172,6 +215,7 @@ def ohem_cross_entropy_loss(
     to all pixels whose prob ≤ max(thresh, k-th smallest prob); ignore the
     rest; then class-weighted CE over the kept set.
     """
+    logits = _match_resolution(logits, target)
     lf = logits.astype(jnp.float32)
     valid = target != ignore_label
     prob = jax.nn.softmax(lf, axis=-1)

@@ -189,7 +189,13 @@ class FastSCNN:
         return init_fast_scnn(key, self.num_classes, self.aux)
 
     # -- forward ------------------------------------------------------------
-    def apply(self, params, state, x, training=False, rng=None):
+    def apply(self, params, state, x, training=False, rng=None, upsample_outputs=True):
+        """``upsample_outputs=False`` returns the logits at the classifier's
+        1/8 resolution (and the aux head's), skipping the final bilinear
+        upsamples — the train step uses this so the loss can fold the
+        upsample into its own math (losses/segmentation.py
+        ``_match_resolution``); semantics are identical because the losses
+        perform the same align_corners=True resize."""
         size = (x.shape[1], x.shape[2])
         new_state = jax.tree_util.tree_map(lambda v: v, state)  # shallow copy
 
@@ -205,13 +211,15 @@ class FastSCNN:
         logits, new_state["classifier"] = self._classifier(
             params["classifier"], state["classifier"], fused, training, rng
         )
-        logits = resize_bilinear(logits, size, align_corners=True)
+        if upsample_outputs:
+            logits = resize_bilinear(logits, size, align_corners=True)
         outputs = (logits,)
         if self.aux:
             auxout, new_state["auxlayer"] = self._aux(
                 params["auxlayer"], state["auxlayer"], higher, training, rng
             )
-            auxout = resize_bilinear(auxout, size, align_corners=True)
+            if upsample_outputs:
+                auxout = resize_bilinear(auxout, size, align_corners=True)
             outputs = (logits, auxout)
         return outputs, new_state
 

@@ -75,10 +75,17 @@ def resize_bilinear(
     h_axis: int = 1,
     w_axis: int = 2,
 ) -> jnp.ndarray:
-    """Bilinear resize of an NHWC (default) tensor to ``size=(H, W)``.
+    """Bilinear resize to ``size=(H, W)`` along the given axes (works for
+    NHWC 4-D tensors and for channel-free 3-D (N, H, W) tensors alike).
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear')`` bit-for-bit
     in f32 for both ``align_corners`` conventions.
+
+    TPU layout note: narrow trailing channel dims are lane-padded on TPU
+    (a materialized (..., C=2) tensor occupies 64× its logical bytes), so
+    full-resolution narrow-C resizes should be restructured by the caller
+    to channel-free 3-D form where possible — see the exact
+    sigmoid-of-difference shortcut in ``losses/segmentation.py``.
     """
     out_h, out_w = size
     x = _lerp_axis(x, h_axis, int(out_h), align_corners)

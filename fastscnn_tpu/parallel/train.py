@@ -117,8 +117,12 @@ def make_train_step(
 
         def loss_of(params):
             cast = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+            # Low-res logits out of the network; the loss performs the final
+            # align_corners=True upsample itself (identical semantics, and
+            # narrow-C losses avoid the lane-padded full-res tensor).
             outputs, new_model_state = model.apply(
-                cast, state.model_state, x, training=True, rng=rng
+                cast, state.model_state, x, training=True, rng=rng,
+                upsample_outputs=False,
             )
             loss = loss_fn(outputs, targets)
             return loss.astype(jnp.float32), new_model_state

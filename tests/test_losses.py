@@ -177,3 +177,54 @@ def test_plain_mix_ce_matches_torch(rng):
     tt = torch.from_numpy(target)
     theirs = float(ce(tl, tt) + 0.2 * ce(ta, tt))
     assert abs(ours - theirs) < 1e-5
+
+
+def test_losses_accept_low_res_logits():
+    """loss(low-res logits) == loss(resize(logits)) — the train step hands
+    losses 1/8-res outputs and the upsample happens inside the loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.losses import (
+        dice_loss,
+        focal_dice_loss,
+        cross_entropy_loss,
+        ohem_cross_entropy_loss,
+        mix_dice_loss,
+    )
+    from fastscnn_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(7)
+    for C in (2, 19):
+        lo = jnp.asarray(rng.standard_normal((2, 12, 12, C)).astype(np.float32))
+        target = jnp.asarray(rng.integers(0, C, (2, 48, 48)).astype(np.int32))
+        full = resize_bilinear(lo, (48, 48), align_corners=True)
+        for fn in (dice_loss, focal_dice_loss, cross_entropy_loss,
+                   ohem_cross_entropy_loss):
+            a = float(fn(lo, target))
+            b = float(fn(full, target))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), fn
+        a = float(mix_dice_loss((lo, lo), target))
+        b = float(mix_dice_loss((full, full), target))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_binary_sigmoid_diff_identity():
+    """C=2 shortcut: sigmoid(z1-z0) path == softmax(z)[..., 1] path (the
+    general-C code) on identical full-res logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.losses import dice_loss
+
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+    target = jnp.asarray(rng.integers(0, 2, (2, 16, 16)).astype(np.int32))
+    a = float(dice_loss(jnp.asarray(z), target))
+    # reference formulation computed by hand
+    prob = jax.nn.softmax(jnp.asarray(z), axis=-1)[..., 1]
+    p = prob.reshape(-1)
+    t = target.reshape(-1).astype(jnp.float32)
+    inter = jnp.sum(p * t)
+    b = float(1.0 - (2 * inter + 1e-6) / (jnp.sum(p) + jnp.sum(t) + 1e-6))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
