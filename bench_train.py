@@ -31,7 +31,7 @@ def main():
     from fastscnn_tpu.utils import lr_schedule
 
     crop = int(os.environ.get("BENCH_TRAIN_CROP", "480"))
-    batches = [int(b) for b in os.environ.get("BENCH_TRAIN_BATCHES", "8,32,64").split(",")]
+    batches = [int(b) for b in os.environ.get("BENCH_TRAIN_BATCHES", "8,64,128").split(",")]
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "20"))
 
     model = FastSCNN(num_classes=2, aux=True)
