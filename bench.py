@@ -45,7 +45,7 @@ def main():
         config=E2EConfig(mean=IMAGENET_MEAN, std=IMAGENET_STD, compute_dtype="bfloat16"),
     )
 
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "16,24,32").split(",")]
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "24,32,64").split(",")]
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     trials = int(os.environ.get("BENCH_TRIALS", "5"))
     best_fps, best_batch = 0.0, 0
