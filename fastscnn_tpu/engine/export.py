@@ -13,6 +13,16 @@ available in this environment; an ONNX emitter can slot in behind
 ``export_onnx`` later — the graph topology is already E2E-normalized
 here the way ATC required (fixed pooling sizes hold whenever the
 internal resolution is a multiple of 192, e.g. the reference's 1024²).
+
+For the reference's EDGE deployment story (ONNX → Huawei ATC → .om on an
+Atlas 200 NPU, reference:ATLAS_DEPLOYMENT_GUIDE.md), the TPU-ecosystem
+analogue is **LiteRT/TFLite**: ``export_tflite`` lowers the same jitted
+E2E function through jax2tf → TFLite flatbuffer, runnable on-device by
+the TFLite interpreter (with optional post-training float16 quantization
+— the ATC deploy was fp16 too). ``export_savedmodel`` emits a TF
+SavedModel for TF-Serving hosts. Both are parity-gated against the
+in-process engine the way the reference gates ONNX against PyTorch
+(reference:compare_pytorch_onnx.py).
 """
 
 from __future__ import annotations
@@ -22,7 +32,14 @@ import os
 
 import numpy as np
 
-__all__ = ["export_stablehlo", "load_exported", "ExportedModel"]
+__all__ = [
+    "export_stablehlo",
+    "load_exported",
+    "ExportedModel",
+    "export_tflite",
+    "export_savedmodel",
+    "TFLiteModel",
+]
 
 
 def export_stablehlo(fn, example_args, path: str, metadata: dict | None = None) -> str:
@@ -83,3 +100,119 @@ class ExportedModel:
 
 def load_exported(path: str) -> ExportedModel:
     return ExportedModel(path)
+
+
+def _tf_specs(example_args):
+    import tensorflow as tf
+
+    specs = []
+    for a in example_args:
+        shape = tuple(a.shape) if hasattr(a, "shape") else np.shape(a)
+        dtype = a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
+        specs.append(tf.TensorSpec(shape, tf.as_dtype(np.dtype(dtype))))
+    return specs
+
+
+def _as_concrete_tf_fn(fn, example_args):
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = jax2tf.convert(fn, with_gradient=False)
+    return tf.function(
+        tf_fn, input_signature=_tf_specs(example_args), autograph=False
+    ).get_concrete_function()
+
+
+def export_tflite(
+    fn,
+    example_args,
+    path: str,
+    metadata: dict | None = None,
+    fp16: bool = False,
+) -> str:
+    """Lower a jittable function to a TFLite flatbuffer (+ JSON sidecar).
+
+    The edge-deployment artifact: the reference ships ONNX → ATC → .om to
+    an Atlas 200 NPU (reference:export_onnx_fixed.py,
+    reference:ATLAS_DEPLOYMENT_GUIDE.md); our edge unit is LiteRT/TFLite,
+    runnable by ``TFLiteModel`` (or any TFLite runtime) on CPUs/NPUs.
+
+    ``fp16=True`` applies post-training float16 weight quantization —
+    the same precision the reference's ATC deploy used; gate accuracy
+    with the parity check in ``fastscnn_tpu.export_model``.
+    """
+    import tensorflow as tf
+
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [_as_concrete_tf_fn(fn, example_args)]
+    )
+    if fp16:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.target_spec.supported_types = [tf.float16]
+    blob = converter.convert()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = {
+        "format": "tflite",
+        "fp16_weights": fp16,
+        "inputs": [
+            {"shape": [int(d) for d in s.shape], "dtype": s.dtype.name}
+            for s in _tf_specs(example_args)
+        ],
+        "flatbuffer_bytes": len(blob),
+    }
+    if metadata:
+        meta.update(metadata)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def export_savedmodel(fn, example_args, path: str, metadata: dict | None = None) -> str:
+    """Serialize a jittable function as a TF SavedModel directory
+    (TF-Serving / `tf.saved_model.load` hosts)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    module = tf.Module()
+    module.__call__ = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=_tf_specs(example_args),
+        autograph=False,
+    )
+    tf.saved_model.save(module, path)
+    if metadata:
+        with open(os.path.join(path, "fastscnn_metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2)
+    return path
+
+
+class TFLiteModel:
+    """A TFLite artifact, callable like the original fn and exposing the
+    reference ``InferSession`` duck-type (SURVEY §2.5)."""
+
+    def __init__(self, path: str):
+        import tensorflow as tf
+
+        self._interp = tf.lite.Interpreter(model_path=path)
+        self._interp.allocate_tensors()
+        self._inputs = self._interp.get_input_details()
+        self._outputs = self._interp.get_output_details()
+        self.metadata = {}
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as f:
+                self.metadata = json.load(f)
+
+    def __call__(self, *args):
+        for detail, a in zip(self._inputs, args):
+            self._interp.set_tensor(detail["index"], np.asarray(a))
+        self._interp.invoke()
+        outs = [self._interp.get_tensor(d["index"]) for d in self._outputs]
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+    def infer(self, feeds: list) -> list:
+        out = self(*feeds)
+        if isinstance(out, tuple):
+            return [np.asarray(o) for o in out]
+        return [np.asarray(out)]

@@ -46,7 +46,16 @@ def parse_args(argv=None):
                         help="reproduce the reference's deployed graph exactly "
                              "(pyramid grids 1/2/4/8, align_corners=False PPM) "
                              "instead of the faithful training architecture")
-    parser.add_argument("--output", type=str, default="exports/fast_scnn_e2e.stablehlo")
+    parser.add_argument("--format", type=str, default="stablehlo",
+                        choices=["stablehlo", "tflite", "savedmodel"],
+                        help="stablehlo: XLA-ecosystem artifact (TPU/GPU/CPU via "
+                             "PJRT); tflite: LiteRT flatbuffer for edge devices "
+                             "(the Atlas-200 analogue); savedmodel: TF-Serving")
+    parser.add_argument("--fp16", action="store_true", default=False,
+                        help="tflite only: post-training float16 weight "
+                             "quantization (the reference's ATC deploy precision)")
+    parser.add_argument("--output", type=str, default=None,
+                        help="artifact path (default exports/fast_scnn_e2e.<format ext>)")
     return parser.parse_args(argv)
 
 
@@ -59,6 +68,15 @@ def main(argv=None):
     from fastscnn_tpu.engine.export import export_stablehlo, load_exported
     from fastscnn_tpu.models import DATASET_NUM_CLASSES, FastSCNN, init_fast_scnn
     from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
+
+    if args.output is None:
+        ext = {"stablehlo": ".stablehlo", "tflite": ".tflite", "savedmodel": ""}[args.format]
+        args.output = f"exports/fast_scnn_e2e{ext or '_savedmodel'}"
+    if args.format in ("tflite", "savedmodel") and args.dtype == "bfloat16":
+        # Edge/serving runtimes execute f32 (optionally f16-quantized);
+        # bf16 is a TPU-side compute dtype, not a TFLite one.
+        print(f"note: {args.format} export computes in float32 (was {args.dtype})")
+        args.dtype = "float32"
 
     num_classes = DATASET_NUM_CLASSES[args.dataset]
     if args.atc_compat:
@@ -96,30 +114,54 @@ def main(argv=None):
     ref_out = np.asarray(fn(test_in))
     print(f"forward test ok: output {ref_out.shape} {ref_out.dtype}")
 
-    path = export_stablehlo(
-        fn,
-        [jax.ShapeDtypeStruct(shape, jnp.uint8)],
-        args.output,
-        metadata={
-            "dataset": args.dataset,
-            "num_classes": num_classes,
-            "internal_size": args.internal_size,
-            "softmax": args.softmax,
-            "normalize": args.normalize,
-            "compute_dtype": args.dtype,
-        },
-    )
-    print(f"exported {path} ({os.path.getsize(path)} bytes)")
+    metadata = {
+        "dataset": args.dataset,
+        "num_classes": num_classes,
+        "internal_size": args.internal_size,
+        "softmax": args.softmax,
+        "normalize": args.normalize,
+        "compute_dtype": args.dtype,
+    }
+    specs = [jax.ShapeDtypeStruct(shape, jnp.uint8)]
+    if args.format == "stablehlo":
+        path = export_stablehlo(fn, specs, args.output, metadata=metadata)
+        loaded = load_exported(path)
+    elif args.format == "tflite":
+        from fastscnn_tpu.engine.export import TFLiteModel, export_tflite
 
-    # artifact smoke test (the ORT-test equivalent)
-    loaded = load_exported(path)
+        path = export_tflite(fn, specs, args.output, metadata=metadata, fp16=args.fp16)
+        loaded = TFLiteModel(path)
+    else:
+        from fastscnn_tpu.engine.export import export_savedmodel
+
+        import tensorflow as tf
+
+        path = export_savedmodel(fn, specs, args.output, metadata=metadata)
+        loaded = tf.saved_model.load(path)
+    size = (
+        os.path.getsize(path)
+        if os.path.isfile(path)
+        else sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(path)
+            for f in fs
+        )
+    )
+    print(f"exported {path} ({size} bytes, format {args.format})")
+
+    # artifact smoke test (the ORT-test equivalent,
+    # reference:export_onnx_fixed.py:382-443)
     out = np.asarray(loaded(test_in))
     if args.softmax:
         agree = float((out.argmax(-1) == ref_out.argmax(-1)).mean())
     else:
         agree = float((out == ref_out).mean())
     print(f"artifact parity vs in-process engine: {agree * 100:.3f}% pixels agree")
-    assert agree > 0.999, "exported artifact diverges from the engine"
+    # fp16-quantized weights may legitimately flip rare boundary pixels;
+    # gate at the reference's observed ATC drift (0.38% differing pixels,
+    # reference:ATLAS_DEPLOYMENT_GUIDE.md:7). Unquantized must be ~exact.
+    tol = 0.995 if (args.format == "tflite" and args.fp16) else 0.999
+    assert agree > tol, "exported artifact diverges from the engine"
     return path
 
 

@@ -1,0 +1,116 @@
+"""Edge-deployment export: jax2tf → TFLite / SavedModel.
+
+The reference's edge path is ONNX → Huawei ATC → .om executed by the
+Atlas 200 NPU runtime, parity-gated by reference:compare_pytorch_onnx.py
+(0.38% pixel drift accepted, reference:ATLAS_DEPLOYMENT_GUIDE.md:7).
+Our TPU-ecosystem analogue is LiteRT/TFLite (and TF SavedModel for
+TF-Serving); these tests are the same cross-runtime gate: run the
+artifact in the *foreign* runtime (TFLite interpreter / TF) and compare
+masks against the in-process JAX engine.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+from fastscnn_tpu.engine.export import TFLiteModel, export_savedmodel, export_tflite
+from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+
+def _small_engine(num_classes=19, softmax=False):
+    import jax
+
+    model = FastSCNN(num_classes=num_classes)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), num_classes)
+    return InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", softmax=softmax),
+    )
+
+
+def test_tflite_mask_parity(tmp_path, rng):
+    import jax
+
+    engine = _small_engine()
+    shape = (1, 96, 192, 3)
+    fn = engine.predict_fn(shape)
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref = np.asarray(fn(x))
+
+    path = export_tflite(
+        fn, [jax.ShapeDtypeStruct(shape, np.uint8)], str(tmp_path / "m.tflite")
+    )
+    loaded = TFLiteModel(path)
+    out = np.asarray(loaded(x))
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    assert (out == ref).mean() == 1.0  # fp32 artifact: bit-exact masks
+    assert loaded.metadata["format"] == "tflite"
+
+    # InferSession duck-type (SURVEY §2.5 seam)
+    outs = loaded.infer([x])
+    assert np.array_equal(outs[0], ref)
+
+
+def test_tflite_fp16_quantized_within_deploy_drift(tmp_path, rng):
+    import jax
+
+    engine = _small_engine()
+    shape = (1, 96, 192, 3)
+    fn = engine.predict_fn(shape)
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref = np.asarray(fn(x))
+
+    path = export_tflite(
+        fn, [jax.ShapeDtypeStruct(shape, np.uint8)],
+        str(tmp_path / "m16.tflite"), fp16=True,
+    )
+    fp32_size = os.path.getsize(str(tmp_path / "m16.tflite"))
+    out = np.asarray(TFLiteModel(path)(x))
+    agree = (out == ref).mean()
+    # the reference accepted 0.38% drift for its fp16 ATC deploy
+    assert agree > 0.995
+    # fp16 weights should roughly halve the flatbuffer vs an fp32 export
+    export_tflite(fn, [jax.ShapeDtypeStruct(shape, np.uint8)], str(tmp_path / "m32.tflite"))
+    assert fp32_size < 0.75 * os.path.getsize(str(tmp_path / "m32.tflite"))
+
+
+def test_savedmodel_roundtrip(tmp_path, rng):
+    import jax
+
+    engine = _small_engine(softmax=True)
+    shape = (1, 64, 128, 3)
+    fn = engine.predict_fn(shape)
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref = np.asarray(fn(x))
+
+    path = export_savedmodel(
+        fn, [jax.ShapeDtypeStruct(shape, np.uint8)],
+        str(tmp_path / "sm"), metadata={"dataset": "citys"},
+    )
+    loaded = tf.saved_model.load(path)
+    out = np.asarray(loaded(x))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    assert os.path.exists(os.path.join(path, "fastscnn_metadata.json"))
+
+
+def test_export_cli_tflite(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from fastscnn_tpu.export_model import main
+
+    path = main(
+        [
+            "--dataset", "custom",
+            "--input-width", "160",
+            "--input-height", "96",
+            "--internal-size", "192",
+            "--format", "tflite",
+            "--argmax",
+        ]
+    )
+    assert path.endswith(".tflite") and os.path.exists(path)
+    assert os.path.exists(path + ".json")
