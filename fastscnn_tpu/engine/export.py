@@ -129,6 +129,8 @@ def export_tflite(
     path: str,
     metadata: dict | None = None,
     fp16: bool = False,
+    quantize: str | None = None,
+    representative_data=None,
 ) -> str:
     """Lower a jittable function to a TFLite flatbuffer (+ JSON sidecar).
 
@@ -137,25 +139,40 @@ def export_tflite(
     reference:ATLAS_DEPLOYMENT_GUIDE.md); our edge unit is LiteRT/TFLite,
     runnable by ``TFLiteModel`` (or any TFLite runtime) on CPUs/NPUs.
 
-    ``fp16=True`` applies post-training float16 weight quantization —
-    the same precision the reference's ATC deploy used; gate accuracy
-    with the parity check in ``fastscnn_tpu.export_model``.
+    ``quantize``: ``'fp16'`` applies post-training float16 weight
+    quantization — the precision the reference's ATC deploy used;
+    ``'int8'`` applies post-training int8 quantization calibrated on
+    ``representative_data`` (an iterable of input batches; a handful of
+    real frames — synthetic fallback only bounds the plumbing, not
+    accuracy). Gate accuracy with the parity check in
+    ``fastscnn_tpu.export_model``. ``fp16=True`` is a legacy alias for
+    ``quantize='fp16'``.
     """
     import tensorflow as tf
 
+    if fp16 and quantize is None:
+        quantize = "fp16"
     converter = tf.lite.TFLiteConverter.from_concrete_functions(
         [_as_concrete_tf_fn(fn, example_args)]
     )
-    if fp16:
+    if quantize == "fp16":
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         converter.target_spec.supported_types = [tf.float16]
+    elif quantize == "int8":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        if representative_data is not None:
+            batches = [np.asarray(b) for b in representative_data]
+            converter.representative_dataset = lambda: ([b] for b in batches)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r} (fp16|int8)")
     blob = converter.convert()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(blob)
     meta = {
         "format": "tflite",
-        "fp16_weights": fp16,
+        "quantize": quantize,
+        "fp16_weights": quantize == "fp16",
         "inputs": [
             {"shape": [int(d) for d in s.shape], "dtype": s.dtype.name}
             for s in _tf_specs(example_args)

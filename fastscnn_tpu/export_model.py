@@ -54,9 +54,43 @@ def parse_args(argv=None):
     parser.add_argument("--fp16", action="store_true", default=False,
                         help="tflite only: post-training float16 weight "
                              "quantization (the reference's ATC deploy precision)")
+    parser.add_argument("--int8", action="store_true", default=False,
+                        help="tflite only: post-training int8 quantization; "
+                             "calibrate with --calib-images for real accuracy")
+    parser.add_argument("--calib-images", type=str, default=None,
+                        help="directory of images for int8 calibration "
+                             "(default: synthetic frames — plumbing-only)")
     parser.add_argument("--output", type=str, default=None,
                         help="artifact path (default exports/fast_scnn_e2e.<format ext>)")
     return parser.parse_args(argv)
+
+
+def _calibration_batches(images_dir, shape, rng, limit: int = 16):
+    """int8 calibration batches: real images resized to the export shape
+    when a directory is given, synthetic frames otherwise."""
+    batch, h, w, _ = shape
+    if images_dir and os.path.isdir(images_dir):
+        from PIL import Image
+
+        names = sorted(
+            f for f in os.listdir(images_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )[: limit * batch]
+        frames = [
+            np.asarray(Image.open(os.path.join(images_dir, n)).convert("RGB").resize((w, h)))
+            for n in names
+        ]
+        if frames:
+            out = []
+            for i in range(0, len(frames) - batch + 1, batch):
+                out.append(np.stack(frames[i : i + batch]).astype(np.uint8))
+            if out:
+                print(f"int8 calibration: {len(out)} batches from {images_dir}")
+                return out
+    print("int8 calibration: synthetic frames (pass --calib-images for real data)")
+    return [
+        rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(8)
+    ]
 
 
 def main(argv=None):
@@ -129,7 +163,14 @@ def main(argv=None):
     elif args.format == "tflite":
         from fastscnn_tpu.engine.export import TFLiteModel, export_tflite
 
-        path = export_tflite(fn, specs, args.output, metadata=metadata, fp16=args.fp16)
+        quantize = "int8" if args.int8 else ("fp16" if args.fp16 else None)
+        rep = None
+        if args.int8:
+            rep = _calibration_batches(args.calib_images, shape, rng)
+        path = export_tflite(
+            fn, specs, args.output, metadata=metadata,
+            quantize=quantize, representative_data=rep,
+        )
         loaded = TFLiteModel(path)
     else:
         from fastscnn_tpu.engine.export import export_savedmodel
@@ -160,7 +201,10 @@ def main(argv=None):
     # fp16-quantized weights may legitimately flip rare boundary pixels;
     # gate at the reference's observed ATC drift (0.38% differing pixels,
     # reference:ATLAS_DEPLOYMENT_GUIDE.md:7). Unquantized must be ~exact.
-    tol = 0.995 if (args.format == "tflite" and args.fp16) else 0.999
+    quantized = args.format == "tflite" and (args.fp16 or args.int8)
+    tol = 0.99 if (args.format == "tflite" and args.int8) else (
+        0.995 if quantized else 0.999
+    )
     assert agree > tol, "exported artifact diverges from the engine"
     return path
 

@@ -78,6 +78,31 @@ def test_tflite_fp16_quantized_within_deploy_drift(tmp_path, rng):
     assert fp32_size < 0.75 * os.path.getsize(str(tmp_path / "m32.tflite"))
 
 
+def test_tflite_int8_quantized(tmp_path, rng):
+    import jax
+
+    engine = _small_engine()
+    shape = (1, 96, 192, 3)
+    fn = engine.predict_fn(shape)
+    x = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref = np.asarray(fn(x))
+
+    rep = [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(4)]
+    path = export_tflite(
+        fn, [jax.ShapeDtypeStruct(shape, np.uint8)],
+        str(tmp_path / "m8.tflite"), quantize="int8", representative_data=rep,
+    )
+    loaded = TFLiteModel(path)
+    assert loaded.metadata["quantize"] == "int8"
+    out = np.asarray(loaded(x))
+    assert (out == ref).mean() > 0.99
+    # int8 weights: clearly smaller than the fp16 artifact would be
+    export_tflite(fn, [jax.ShapeDtypeStruct(shape, np.uint8)], str(tmp_path / "m32.tflite"))
+    assert os.path.getsize(str(tmp_path / "m8.tflite")) < 0.5 * os.path.getsize(
+        str(tmp_path / "m32.tflite")
+    )
+
+
 def test_savedmodel_roundtrip(tmp_path, rng):
     import jax
 
