@@ -44,6 +44,7 @@ def main():
 
     body = encode_image(args.image)
     latencies: list[float] = []
+    errors: list[str] = []
     lock = threading.Lock()
 
     def one():
@@ -54,7 +55,12 @@ def main():
             method="POST",
         )
         t0 = time.perf_counter()
-        payload = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        try:
+            payload = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        except Exception as e:
+            with lock:
+                errors.append(f"{type(e).__name__}: {e}")
+            return None
         dt = time.perf_counter() - t0
         mask = np.asarray(payload["mask"])
         with lock:
@@ -63,6 +69,8 @@ def main():
 
     # warm-up (first request pays XLA compilation unless cached)
     mask = one()
+    if mask is None:
+        raise SystemExit(f"warm-up request failed: {errors[-1]}")
     print(f"mask shape {mask.shape}, classes {sorted(np.unique(mask).tolist())}")
     latencies.clear()
 
@@ -81,7 +89,11 @@ def main():
     wall = time.perf_counter() - t0
 
     lat = sorted(latencies)
-    print(f"{args.repeat} requests in {wall:.2f}s ({args.repeat / wall:.1f} rps)")
+    if errors:
+        print(f"{len(errors)} of {args.repeat} requests failed; first: {errors[0]}")
+    if not lat:
+        raise SystemExit("no successful requests — no latency stats")
+    print(f"{len(lat)} requests in {wall:.2f}s ({len(lat) / wall:.1f} rps)")
     print(f"latency p50 {lat[len(lat) // 2] * 1e3:.1f} ms, p95 {lat[int(0.95 * (len(lat) - 1))] * 1e3:.1f} ms")
     stats = json.loads(urllib.request.urlopen(args.url + "/stats", timeout=10).read())
     print("server stats:", json.dumps(stats, indent=2))

@@ -159,12 +159,19 @@ def export_tflite(
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         converter.target_spec.supported_types = [tf.float16]
     elif quantize == "int8":
+        if representative_data is None:
+            raise ValueError(
+                "quantize='int8' needs representative_data (calibration "
+                "batches); use quantize='dynamic' for uncalibrated "
+                "dynamic-range quantization"
+            )
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
-        if representative_data is not None:
-            batches = [np.asarray(b) for b in representative_data]
-            converter.representative_dataset = lambda: ([b] for b in batches)
+        batches = [np.asarray(b) for b in representative_data]
+        converter.representative_dataset = lambda: ([b] for b in batches)
+    elif quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
     elif quantize is not None:
-        raise ValueError(f"unknown quantize mode {quantize!r} (fp16|int8)")
+        raise ValueError(f"unknown quantize mode {quantize!r} (fp16|int8|dynamic)")
     blob = converter.convert()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

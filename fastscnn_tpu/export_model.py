@@ -103,6 +103,12 @@ def main(argv=None):
     from fastscnn_tpu.models import DATASET_NUM_CLASSES, FastSCNN, init_fast_scnn
     from fastscnn_tpu.utils.checkpoint import load_pth_checkpoint
 
+    if args.fp16 and args.int8:
+        raise SystemExit("--fp16 and --int8 are mutually exclusive")
+    if (args.fp16 or args.int8) and args.format != "tflite":
+        raise SystemExit("--fp16/--int8 apply to --format tflite only")
+    if args.calib_images and not args.int8:
+        raise SystemExit("--calib-images only applies with --int8")
     if args.output is None:
         ext = {"stablehlo": ".stablehlo", "tflite": ".tflite", "savedmodel": ""}[args.format]
         args.output = f"exports/fast_scnn_e2e{ext or '_savedmodel'}"

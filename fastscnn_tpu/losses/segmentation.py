@@ -69,6 +69,17 @@ def _binary_diff_at_target_res(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.
     return d
 
 
+def _dice_from_prob(prob: jnp.ndarray, target: jnp.ndarray, smooth: float) -> jnp.ndarray:
+    """1 − dice on a precomputed class-1 probability map. Like the
+    reference, the raw target values enter the sums (no ignore masking —
+    reference:utils/loss.py:24-32)."""
+    p = prob.reshape(-1)
+    t = target.reshape(-1).astype(jnp.float32)
+    inter = jnp.sum(p * t)
+    dice = (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
+    return 1.0 - dice
+
+
 def dice_loss(logits: jnp.ndarray, target: jnp.ndarray, smooth: float = 1e-6) -> jnp.ndarray:
     """Binary Dice on the class-1 probability (reference:utils/loss.py:12-39).
 
@@ -85,11 +96,7 @@ def dice_loss(logits: jnp.ndarray, target: jnp.ndarray, smooth: float = 1e-6) ->
             prob = jax.nn.sigmoid(lf[..., 0])
         else:
             prob = jax.nn.sigmoid(lf)
-    p = prob.reshape(-1)
-    t = target.reshape(-1).astype(jnp.float32)
-    inter = jnp.sum(p * t)
-    dice = (2.0 * inter + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
-    return 1.0 - dice
+    return _dice_from_prob(prob, target, smooth)
 
 
 def mix_dice_loss(outputs, target, aux_weight: float = 0.4, smooth: float = 1e-6):
@@ -129,12 +136,16 @@ def focal_dice_loss(
     if logits.ndim == 4 and logits.shape[-1] == 2:
         # 2-class CE via the logit difference: -log softmax(z)[t] ==
         # -log_sigmoid((2t-1)·(z1-z0)) — channel-free at full res.
+        # Target clipped into [0, 1] exactly as the general path's
+        # _select_class does (out-of-range/ignore labels otherwise blow
+        # up the sign trick); dice reuses the same resized difference.
         d = _binary_diff_at_target_res(logits, target)
-        sign = 2.0 * target.astype(jnp.float32) - 1.0
+        sign = 2.0 * jnp.clip(target, 0, 1).astype(jnp.float32) - 1.0
         ce = -jax.nn.log_sigmoid(sign * d)
         pt = jnp.exp(-ce)
         focal = jnp.mean(alpha * (1 - pt) ** gamma * ce)
-        return (1 - dice_weight) * focal + dice_weight * dice_loss(logits, target, smooth)
+        dice = _dice_from_prob(jax.nn.sigmoid(d), target, smooth)
+        return (1 - dice_weight) * focal + dice_weight * dice
     logits = _match_resolution(logits, target)
     lf = logits.astype(jnp.float32)
     if logits.ndim == 4 and logits.shape[-1] > 1:

@@ -209,6 +209,42 @@ def test_losses_accept_low_res_logits():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_focal_dice_binary_fast_path_clips_ignore_labels():
+    """The C=2 sigmoid-of-difference fast path must clip out-of-range
+    targets (255 borders) exactly like the general path's _select_class —
+    regression: an unclipped sign trick gives sign=509 and exploding CE.
+    Expected value recomputed via the independent resize→softmax route."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.losses import focal_dice_loss
+    from fastscnn_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.default_rng(11)
+    lo = jnp.asarray(rng.standard_normal((2, 12, 12, 2)).astype(np.float32))
+    target = rng.integers(0, 2, (2, 48, 48)).astype(np.int32)
+    target[:, :4, :] = 255  # ignore border
+    target = jnp.asarray(target)
+
+    got = float(focal_dice_loss(lo, target))
+    assert np.isfinite(got) and got < 50.0
+
+    # independent general-path recomputation
+    alpha, gamma, dice_weight, smooth = 0.5, 2.0, 0.5, 1e-6
+    up = resize_bilinear(lo, (48, 48), align_corners=True).astype(jnp.float32)
+    logp = jax.nn.log_softmax(up, axis=-1)
+    tc = jnp.clip(target, 0, 1)
+    ce = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+    pt = jnp.exp(-ce)
+    focal = jnp.mean(alpha * (1 - pt) ** gamma * ce)
+    prob = jax.nn.softmax(up, axis=-1)[..., 1]
+    t = target.reshape(-1).astype(jnp.float32)
+    p = prob.reshape(-1)
+    dice = 1.0 - (2.0 * jnp.sum(p * t) + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
+    expected = float((1 - dice_weight) * focal + dice_weight * dice)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
 def test_binary_sigmoid_diff_identity():
     """C=2 shortcut: sigmoid(z1-z0) path == softmax(z)[..., 1] path (the
     general-C code) on identical full-res logits."""

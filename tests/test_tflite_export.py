@@ -68,14 +68,14 @@ def test_tflite_fp16_quantized_within_deploy_drift(tmp_path, rng):
         fn, [jax.ShapeDtypeStruct(shape, np.uint8)],
         str(tmp_path / "m16.tflite"), fp16=True,
     )
-    fp32_size = os.path.getsize(str(tmp_path / "m16.tflite"))
+    fp16_size = os.path.getsize(str(tmp_path / "m16.tflite"))
     out = np.asarray(TFLiteModel(path)(x))
     agree = (out == ref).mean()
     # the reference accepted 0.38% drift for its fp16 ATC deploy
     assert agree > 0.995
     # fp16 weights should roughly halve the flatbuffer vs an fp32 export
     export_tflite(fn, [jax.ShapeDtypeStruct(shape, np.uint8)], str(tmp_path / "m32.tflite"))
-    assert fp32_size < 0.75 * os.path.getsize(str(tmp_path / "m32.tflite"))
+    assert fp16_size < 0.75 * os.path.getsize(str(tmp_path / "m32.tflite"))
 
 
 def test_tflite_int8_quantized(tmp_path, rng):
