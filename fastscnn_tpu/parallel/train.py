@@ -103,6 +103,7 @@ def make_train_step(
     mean=IMAGENET_MEAN,
     std=IMAGENET_STD,
     spatial_shard: bool = False,
+    grad_accum: int = 1,
 ):
     """Build the jitted sharded train step.
 
@@ -110,25 +111,67 @@ def make_train_step(
 
     With ``mesh``: images/targets sharded batch-wise over 'data' (and H
     over 'space' when ``spatial_shard``), state replicated.
+
+    ``grad_accum`` > 1 splits each step's batch into that many
+    sequential microbatches inside the jitted program (``lax.scan``):
+    activation memory drops to batch/grad_accum while the optimizer sees
+    the full-batch mean gradient — train effective batches whose
+    activations would OOM HBM. BN running stats are threaded through the
+    microbatches sequentially, exactly as if they were separate steps.
     """
 
-    def step(state: TrainState, images, targets, rng):
-        x = _normalize(images, mean, std, compute_dtype)
-
-        def loss_of(params):
-            cast = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
+    def grads_of(params, model_state, x, targets, rng):
+        def loss_of(p):
+            cast = jax.tree_util.tree_map(lambda q: q.astype(compute_dtype), p)
             # Low-res logits out of the network; the loss performs the final
             # align_corners=True upsample itself (identical semantics, and
             # narrow-C losses avoid the lane-padded full-res tensor).
             outputs, new_model_state = model.apply(
-                cast, state.model_state, x, training=True, rng=rng,
+                cast, model_state, x, training=True, rng=rng,
                 upsample_outputs=False,
             )
             loss = loss_fn(outputs, targets)
             return loss.astype(jnp.float32), new_model_state
 
-        (loss, new_model_state), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
+        (loss, new_model_state), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
         grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        return loss, new_model_state, grads
+
+    def step(state: TrainState, images, targets, rng):
+        x = _normalize(images, mean, std, compute_dtype)
+
+        if grad_accum == 1:
+            loss, new_model_state, grads = grads_of(
+                state.params, state.model_state, x, targets, rng
+            )
+        else:
+            if images.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch {images.shape[0]} not divisible by grad_accum {grad_accum}"
+                )
+            mb = images.shape[0] // grad_accum
+
+            def micro(carry, i):
+                model_state, grad_acc, loss_acc = carry
+                xi = jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
+                ti = jax.lax.dynamic_slice_in_dim(targets, i * mb, mb, axis=0)
+                loss, model_state, grads = grads_of(
+                    state.params, model_state, xi, ti, jax.random.fold_in(rng, i)
+                )
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (model_state, grad_acc, loss_acc + loss), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (new_model_state, grads, loss_sum), _ = jax.lax.scan(
+                micro,
+                (state.model_state, zeros, jnp.zeros((), jnp.float32)),
+                jnp.arange(grad_accum),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            loss = loss_sum / grad_accum
+
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

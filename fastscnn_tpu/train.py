@@ -37,6 +37,11 @@ def parse_args(argv=None):
     parser.add_argument("--epochs", type=int, default=160)
     parser.add_argument("--start_epoch", type=int, default=0)
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="split each batch into N sequential microbatches "
+                             "inside the jitted step (activation memory / N, "
+                             "same full-batch gradient) — train effective "
+                             "batches whose activations would OOM HBM")
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--weight-decay", type=float, default=1e-4)
@@ -236,7 +241,7 @@ class Trainer:
         compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
         self.train_step = make_train_step(
             self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, grad_accum=args.grad_accum,
         )
         self.eval_step = make_eval_step(
             self.model, self.num_classes, mesh=None, mean=mean, std=std,
