@@ -114,11 +114,28 @@ def make_train_step(
 
     ``grad_accum`` > 1 splits each step's batch into that many
     sequential microbatches inside the jitted program (``lax.scan``):
-    activation memory drops to batch/grad_accum while the optimizer sees
-    the full-batch mean gradient — train effective batches whose
-    activations would OOM HBM. BN running stats are threaded through the
-    microbatches sequentially, exactly as if they were separate steps.
+    activation memory drops to batch/grad_accum while the optimizer
+    applies the mean of the microbatch gradients — train effective
+    batches whose activations would OOM HBM. This is torch-style
+    gradient accumulation (one ``loss.backward()`` per microbatch): for
+    per-pixel separable losses it equals the full-batch gradient; for
+    batch-aggregated losses (dice denominators, OHEM top-k mining,
+    ignore-aware normalization) it is the mean of per-microbatch
+    objectives, exactly as if the microbatches were separate steps
+    sharing one optimizer update. BN running stats are threaded through
+    the microbatches sequentially. Each microbatch keeps the full
+    ('data'[, 'space']) sharding, so data parallelism is preserved
+    (asserted on the compiled HLO in
+    tests/test_parallel.py::test_grad_accum_on_dp_mesh).
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    img_spec = ["data", None, None, None]
+    tgt_spec = ["data", None, None]
+    if mesh is not None and spatial_shard and mesh.shape.get("space", 1) > 1:
+        img_spec[1] = "space"
+        tgt_spec[1] = "space"
 
     def grads_of(params, model_state, x, targets, rng):
         def loss_of(p):
@@ -138,9 +155,8 @@ def make_train_step(
         return loss, new_model_state, grads
 
     def step(state: TrainState, images, targets, rng):
-        x = _normalize(images, mean, std, compute_dtype)
-
         if grad_accum == 1:
+            x = _normalize(images, mean, std, compute_dtype)
             loss, new_model_state, grads = grads_of(
                 state.params, state.model_state, x, targets, rng
             )
@@ -150,11 +166,28 @@ def make_train_step(
                     f"batch {images.shape[0]} not divisible by grad_accum {grad_accum}"
                 )
             mb = images.shape[0] // grad_accum
+            # Leading-axis reshape + scan (NOT dynamic_slice with a traced
+            # start: GSPMD cannot keep a traced-offset slice of the
+            # batch-sharded axis partitioned — it all-gathers the inputs
+            # and replicates every microbatch on every device). The
+            # explicit constraint re-shards each microbatch over
+            # ('data'[, 'space']); the one-off uint8 redistribute is
+            # cheap. Normalization happens per-microbatch inside the scan
+            # so no full-batch compute_dtype tensor stays live.
+            xr = images.reshape(grad_accum, mb, *images.shape[1:])
+            tr = targets.reshape(grad_accum, mb, *targets.shape[1:])
+            if mesh is not None:
+                xr = jax.lax.with_sharding_constraint(
+                    xr, NamedSharding(mesh, P(None, *img_spec))
+                )
+                tr = jax.lax.with_sharding_constraint(
+                    tr, NamedSharding(mesh, P(None, *tgt_spec))
+                )
 
-            def micro(carry, i):
+            def micro(carry, xs):
+                i, xi_u8, ti = xs
                 model_state, grad_acc, loss_acc = carry
-                xi = jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
-                ti = jax.lax.dynamic_slice_in_dim(targets, i * mb, mb, axis=0)
+                xi = _normalize(xi_u8, mean, std, compute_dtype)
                 loss, model_state, grads = grads_of(
                     state.params, model_state, xi, ti, jax.random.fold_in(rng, i)
                 )
@@ -167,7 +200,7 @@ def make_train_step(
             (new_model_state, grads, loss_sum), _ = jax.lax.scan(
                 micro,
                 (state.model_state, zeros, jnp.zeros((), jnp.float32)),
-                jnp.arange(grad_accum),
+                (jnp.arange(grad_accum), xr, tr),
             )
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
             loss = loss_sum / grad_accum
@@ -186,11 +219,6 @@ def make_train_step(
         return jax.jit(step, donate_argnums=0)
 
     repl = NamedSharding(mesh, P())
-    img_spec = ["data", None, None, None]
-    tgt_spec = ["data", None, None]
-    if spatial_shard and mesh.shape.get("space", 1) > 1:
-        img_spec[1] = "space"
-        tgt_spec[1] = "space"
     return jax.jit(
         step,
         donate_argnums=0,

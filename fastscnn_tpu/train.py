@@ -39,9 +39,10 @@ def parse_args(argv=None):
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="split each batch into N sequential microbatches "
-                             "inside the jitted step (activation memory / N, "
-                             "same full-batch gradient) — train effective "
-                             "batches whose activations would OOM HBM")
+                             "inside the jitted step (activation memory / N; "
+                             "torch-style accumulation: mean of microbatch "
+                             "gradients, one optimizer update) — train "
+                             "effective batches whose activations would OOM")
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--weight-decay", type=float, default=1e-4)

@@ -186,17 +186,31 @@ def test_grad_accum_matches_manual_microbatching(setup, rng):
 
 
 def test_grad_accum_on_dp_mesh(setup, rng):
-    """grad_accum composes with the data mesh (microbatch slices stay
-    batch-sharded; no semantic change)."""
+    """grad_accum composes with the data mesh: microbatches stay
+    batch-sharded, so the compiled program still contains gradient
+    all-reduces (a traced-offset dynamic_slice formulation loses them —
+    GSPMD all-gathers the inputs and replicates every microbatch)."""
     model, optimizer, state = setup
     mesh = make_mesh(n_data=2)
     loss_fn = get_loss_fn("dice", aux=True)
     step = make_train_step(model, loss_fn, optimizer, mesh=mesh, grad_accum=2)
     images, targets = _batch(rng, n=8, h=32, w=32)
     targets = jnp.clip(targets, 0, 1)
+
+    compiled = step.lower(state, images, targets, jax.random.PRNGKey(0)).compile()
+    hlo = compiled.as_text()
+    assert "all-reduce" in hlo, "gradient psum over 'data' was compiled away"
+
     state, metrics = step(state, images, targets, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_grad_accum_rejects_bad_factor(setup):
+    model, optimizer, _ = setup
+    loss_fn = get_loss_fn("dice", aux=True)
+    with pytest.raises(ValueError, match=">= 1"):
+        make_train_step(model, loss_fn, optimizer, grad_accum=0)
 
 
 def test_grad_accum_rejects_indivisible_batch(setup, rng):
