@@ -18,6 +18,7 @@ threaded loader when grain is unavailable.
 from __future__ import annotations
 
 import random as _random
+import threading
 
 import numpy as np
 
@@ -31,6 +32,15 @@ class _DatasetSource:
     def __init__(self, dataset, seed: int = 0):
         self.dataset = dataset
         self.seed = seed
+        # __getitem__ temporarily swaps the dataset's augmentation RNG.
+        # Two loaders over the SAME dataset object (or grain's prefetch
+        # thread racing the caller) would interleave those swaps and feed
+        # one record's RNG to another, so all sources serialize on a lock
+        # stored on the dataset itself. Multiprocess workers are
+        # unaffected: each worker unpickles its own dataset copy.
+        if not hasattr(dataset, "_aug_rng_lock"):
+            dataset._aug_rng_lock = threading.Lock()
+        self._lock = dataset._aug_rng_lock
 
     def __len__(self):
         return len(self.dataset)
@@ -38,21 +48,22 @@ class _DatasetSource:
     def __getitem__(self, index: int):
         # Private, record-deterministic RNG for the PIL augmentations.
         rng = _random.Random(self.seed * 1_000_003 + index)
-        tf = getattr(self.dataset, "tf", None)
-        old = None
-        if tf is not None:
-            old = tf.rng
-            tf.rng = rng
-        inner = getattr(self.dataset, "_rng", None)
-        if inner is not None:
-            self.dataset._rng = rng
-        try:
-            image, target = self.dataset[index]
-        finally:
+        with self._lock:
+            tf = getattr(self.dataset, "tf", None)
+            old = None
             if tf is not None:
-                tf.rng = old
+                old = tf.rng
+                tf.rng = rng
+            inner = getattr(self.dataset, "_rng", None)
             if inner is not None:
-                self.dataset._rng = inner
+                self.dataset._rng = rng
+            try:
+                image, target = self.dataset[index]
+            finally:
+                if tf is not None:
+                    tf.rng = old
+                if inner is not None:
+                    self.dataset._rng = inner
         return {"image": np.asarray(image), "target": np.asarray(target)}
 
 

@@ -42,11 +42,16 @@ __all__ = [
 ]
 
 
-def export_stablehlo(fn, example_args, path: str, metadata: dict | None = None) -> str:
+def export_stablehlo(fn, example_args, path: str, metadata: dict | None = None,
+                     platforms=("tpu", "cpu", "cuda")) -> str:
     """Serialize a jittable function to a StableHLO artifact (+ JSON sidecar).
 
     ``fn`` — jitted or jittable callable; ``example_args`` — abstract or
-    concrete arrays defining input shapes/dtypes.
+    concrete arrays defining input shapes/dtypes. ``platforms`` — lowering
+    targets baked into the artifact; the default covers TPU serving hosts
+    plus CPU/GPU fallbacks, so an artifact exported on the TPU box still
+    loads on a CPU-only machine (jax.export refuses to run an artifact on
+    a platform it was not lowered for).
     """
     import jax
     from jax import export as jexport
@@ -56,7 +61,7 @@ def export_stablehlo(fn, example_args, path: str, metadata: dict | None = None) 
         jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype if not hasattr(a, "dtype") else a.dtype)
         for a in example_args
     ]
-    exported = jexport.export(jitted)(*specs)
+    exported = jexport.export(jitted, platforms=list(platforms))(*specs)
     data = exported.serialize()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
@@ -65,6 +70,7 @@ def export_stablehlo(fn, example_args, path: str, metadata: dict | None = None) 
         "format": "stablehlo-jax-export",
         "inputs": [{"shape": list(s.shape), "dtype": str(s.dtype)} for s in specs],
         "mlir_bytes": len(data),
+        "platforms": list(platforms),
     }
     if metadata:
         meta.update(metadata)

@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from fastscnn_tpu.models.fast_scnn import FastSCNN, fold_inference_params
-from fastscnn_tpu.ops.resize import resize_bilinear, resize_nearest
+from fastscnn_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_matmul,
+    resize_nearest,
+)
 
 from fastscnn_tpu.utils.profiling import enable_compilation_cache
 
@@ -51,6 +55,10 @@ class E2EConfig:
     means raw [0,1] (the custom-dataset convention).
     ``softmax``: emit class probabilities resized back to the input size
     instead of an argmax mask.
+    ``final_upsample``: formulation of the final ×8 logits upsample —
+    'matmul' (default; interp-matrix MXU contractions, the fast path on
+    TPU) or 'gather' (two-tap lerp gathers, minimal-FLOP reference
+    path). Same bilinear weights either way; see ops/resize.py.
     """
 
     internal_size: tuple[int, int] | None = None
@@ -58,6 +66,7 @@ class E2EConfig:
     std: tuple[float, ...] | None = None
     softmax: bool = False
     compute_dtype: str = "bfloat16"
+    final_upsample: str = "matmul"
 
 
 class InferenceEngine:
@@ -118,7 +127,19 @@ class InferenceEngine:
 
     def _forward(self, images: jnp.ndarray, resize_back: bool = False):
         x = self._preprocess(images)
-        logits = self.model.apply_folded(self.folded, x)[0]
+        logits = self.model.apply_folded(self.folded, x, upsample_outputs=False)[0]
+        if logits.shape[1:3] != x.shape[1:3]:
+            # The network's final ×8 align_corners=True upsample
+            # (reference:models/fast_scnn.py:40), done outside the folded
+            # graph so serving can pick the formulation: interp-matmul on
+            # the MXU ('matmul') or the two-tap lane-gather path
+            # ('gather') — benchmarked in docs/PERFORMANCE.md.
+            up = (
+                resize_bilinear_matmul
+                if self.config.final_upsample == "matmul"
+                else resize_bilinear
+            )
+            logits = up(logits, (x.shape[1], x.shape[2]), align_corners=True)
         if resize_back and logits.shape[1:3] != images.shape[1:3]:
             # deployed-graph contract: logits back at the input resolution
             # (reference:export_onnx_fixed.py:52-55, align_corners=False)
@@ -193,7 +214,16 @@ class InferenceEngine:
         This is the honest way to measure device throughput here: per-call
         host dispatch through the remote-TPU relay costs ~10 ms, which an
         in-graph loop amortizes away — on directly-attached TPUs the two
-        protocols agree."""
+        protocols agree.
+
+        CRITICAL: each iteration must depend on the previous one. A body
+        that recomputes ``one(x)`` on an unchanged ``x`` is loop-invariant
+        and XLA hoists the entire network out of the ``while`` — the loop
+        then times ``iters`` scalar adds and reports up to iters× the real
+        throughput (caught 2026-08-16: doubling ``iters`` left total time
+        unchanged). Here the previous mask's checksum perturbs one input
+        pixel, forcing a real forward per iteration at negligible cost
+        (one in-place element update on the uint8 input)."""
         from jax import lax
 
         out_size = shape[1:3]
@@ -208,6 +238,7 @@ class InferenceEngine:
         def loop_body(i, carry):
             x, acc = carry
             m = one(x)
+            x = x.at[0, 0, 0, 0].add((m[0, 0, 0] % 2).astype(x.dtype))
             return (x, acc + m[0, 0, 0])
 
         @jax.jit

@@ -300,10 +300,14 @@ class FastSCNN:
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
     # -- folded inference ---------------------------------------------------
-    def apply_folded(self, fparams, x):
+    def apply_folded(self, fparams, x, upsample_outputs=True):
         """Inference forward on a BN-folded parameter tree
         (see :func:`fold_inference_params`). Every block is conv+bias+ReLU;
-        zero batch-norm work in the graph."""
+        zero batch-norm work in the graph.
+
+        ``upsample_outputs=False`` returns 1/8-res logits so the caller
+        can choose the upsample formulation (the serving engine uses the
+        MXU interp-matmul path — ops/resize.py)."""
 
         def cbr(p, y, stride=1, padding=0, groups=1, relu=True):
             y = conv2d(y, p["w"], p["b"], stride=stride, padding=padding, groups=groups)
@@ -354,12 +358,14 @@ class FastSCNN:
         y = ds(c["dsconv1"], fused)
         y = ds(c["dsconv2"], y)
         logits = conv2d(y, c["conv"]["w"], c["conv"]["b"])
-        logits = resize_bilinear(logits, size, align_corners=True)
+        if upsample_outputs:
+            logits = resize_bilinear(logits, size, align_corners=True)
         if self.aux and "auxlayer" in p:
             a = p["auxlayer"]
             z = cbr(a["conv1"], higher, padding=1)
             auxout = conv2d(z, a["conv2"]["w"], a["conv2"]["b"])
-            auxout = resize_bilinear(auxout, size, align_corners=True)
+            if upsample_outputs:
+                auxout = resize_bilinear(auxout, size, align_corners=True)
             return (logits, auxout)
         return (logits,)
 

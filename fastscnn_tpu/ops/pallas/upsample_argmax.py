@@ -79,19 +79,27 @@ def upsample_argmax(
     n, h, w, c = logits.shape
     out_h, out_w = int(out_size[0]), int(out_size[1])
     if use_pallas is None:
-        # Default OFF: measured on v5e (on-device loop timing, batch 16) the
-        # XLA gather-lerp path reaches ~4.5k fps at 1024×2048 while this
-        # kernel's dense interp matmuls cap at ~2.5k — the band-structure
-        # waste on the MXU outweighs the saved HBM traffic at these shapes.
-        # Kept for C ≫ 19 / larger-upsample regimes where the traffic term
-        # dominates, and as the fallback-free fused-mask path.
+        # Default OFF pending an honest re-measure: the earlier
+        # "XLA gather path wins" A/B ran through the loop-hoisting
+        # benchmark bug (docs/PERFORMANCE.md, 2026-08-17 correction)
+        # which attenuated differences ~30×. The honest trace puts the
+        # gather path at ~55% of E2E, ~20× above its op floor, so this
+        # kernel is a live candidate again.
         use_pallas = False
     th = _pick_tile(out_h)
     # VMEM budget: full input strip + A_H + A_W + f32 expansion buffer.
     vmem_est = (
         h * c * w * 2 + out_h * h * 2 + w * out_w * 2 + th * c * out_w * 4 + th * c * w * 4
     )
-    if not use_pallas or th < 4 or vmem_est > 100 * 2**20 or (h, w) == (out_h, out_w):
+    import jax
+
+    if (
+        not use_pallas
+        or jax.default_backend() not in ("tpu", "axon")
+        or th < 4
+        or vmem_est > 100 * 2**20
+        or (h, w) == (out_h, out_w)
+    ):
         return _xla_reference(logits, out_size, align_corners)
 
     from jax.experimental import pallas as pl

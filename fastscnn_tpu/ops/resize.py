@@ -10,12 +10,22 @@ in the end-to-end export graph (reference:export_onnx_fixed.py:62-98).
 uses a gather-free einsum formulation), so we implement both PyTorch
 conventions directly.
 
-Design: a separable lerp-gather. For each output axis position we
-precompute (at trace time, as static numpy) the two source indices and
-the fractional weight, then do two ``jnp.take`` gathers and a fused
-multiply-add per axis. Cost is O(N · H_out · W_out · C) — far cheaper
-than a dense interpolation-matrix matmul at 2048×1024 output — and XLA
-fuses the lerp into the gathers. All shapes are static under jit.
+Two formulations with identical sampling semantics:
+
+- ``resize_bilinear``: a separable lerp-gather. For each output axis
+  position we precompute (at trace time, as static numpy) the two source
+  indices and the fractional weight, then do two ``jnp.take`` gathers
+  and a fused multiply-add per axis. Minimal op count — but TPU lane
+  gathers serialize badly: at the serving shape (×8 upsample of
+  128×256×19 logits to 1024×2048) the gather path measured ~1.3 ms/frame,
+  ~20× above its op floor (docs/PERFORMANCE.md).
+- ``resize_bilinear_matmul``: the same weights as one dense
+  interpolation matrix per axis, applied as MXU matmuls (cheapest
+  contraction order chosen automatically). ~64× the FLOPs of the
+  two-tap lerp at ×8, but MXU FLOPs are nearly free next to serialized
+  gathers — this is the fast path for large upsamples on TPU.
+
+All shapes are static under jit.
 """
 
 from __future__ import annotations
@@ -25,7 +35,7 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["resize_bilinear", "resize_nearest"]
+__all__ = ["resize_bilinear", "resize_bilinear_matmul", "resize_nearest"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,6 +100,66 @@ def resize_bilinear(
     out_h, out_w = size
     x = _lerp_axis(x, h_axis, int(out_h), align_corners)
     x = _lerp_axis(x, w_axis, int(out_w), align_corners)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
+    """Dense (in_size, out_size) 1-D interpolation matrix with exactly the
+    same two-tap weights as ``_axis_lerp_coeffs`` (two nonzeros per
+    column; a clamped edge collapses to a single 1.0)."""
+    lo, hi, w = _axis_lerp_coeffs(in_size, out_size, align_corners)
+    a = np.zeros((in_size, out_size), np.float32)
+    cols = np.arange(out_size)
+    np.add.at(a, (lo, cols), 1.0 - w)
+    np.add.at(a, (hi, cols), w)
+    return a
+
+
+def _matmul_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    a = jnp.asarray(_interp_matrix(in_size, int(out_size), align_corners), x.dtype)
+    # tensordot moves the contracted axis's replacement to the end; put it
+    # back (XLA folds the transpose into the dot_general output layout).
+    y = jnp.tensordot(x, a, axes=[[axis], [0]])
+    return jnp.moveaxis(y, -1, axis)
+
+
+def resize_bilinear_matmul(
+    x: jnp.ndarray,
+    size: tuple[int, int],
+    align_corners: bool = True,
+    h_axis: int = 1,
+    w_axis: int = 2,
+) -> jnp.ndarray:
+    """Bilinear resize via dense interpolation-matrix matmuls on the MXU.
+
+    Identical sampling weights to ``resize_bilinear`` (same
+    ``_axis_lerp_coeffs``); numerics differ only in summation order
+    (matmul accumulates lo·w0 + hi·w1 instead of lo + (hi−lo)·w, with
+    f32 MXU accumulation) — sub-ulp in f32, ≤1 ulp in bf16, so argmax
+    masks can flip only at exact ties. Use for large upsamples on TPU
+    where the gather path serializes (see module docstring)."""
+    out_h, out_w = int(size[0]), int(size[1])
+    n_other_h = x.size // x.shape[h_axis]   # elements per H-column
+    n_other_w = x.size // x.shape[w_axis]
+    # Contract the axis whose expansion is cheaper first, so the larger
+    # contraction runs on the smaller intermediate (for ×8 upsampling of
+    # (128, 256): W-first costs 12.8 GFLOP/frame vs 21.7 for H-first).
+    cost_h_first = n_other_h * out_h * x.shape[h_axis] + (
+        x.size // x.shape[h_axis] // x.shape[w_axis] * out_h
+    ) * out_w * x.shape[w_axis]
+    cost_w_first = n_other_w * out_w * x.shape[w_axis] + (
+        x.size // x.shape[h_axis] // x.shape[w_axis] * out_w
+    ) * out_h * x.shape[h_axis]
+    if cost_w_first <= cost_h_first:
+        x = _matmul_axis(x, w_axis, out_w, align_corners)
+        x = _matmul_axis(x, h_axis, out_h, align_corners)
+    else:
+        x = _matmul_axis(x, h_axis, out_h, align_corners)
+        x = _matmul_axis(x, w_axis, out_w, align_corners)
     return x
 
 

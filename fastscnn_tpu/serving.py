@@ -90,7 +90,13 @@ class BatchingPredictor:
 
     # -- client side ----------------------------------------------------------
     def predict(self, image: np.ndarray, timeout: float = 30.0) -> np.ndarray:
-        """Blocking single-image predict through the batching queue."""
+        """Blocking single-image predict through the batching queue.
+
+        ``timeout`` bounds the TOTAL wait (enqueue + inference).
+        Raises ``ValueError`` for images that are not (H, W, 3) after
+        the resize — validated here, before the shared dispatcher ever
+        touches the array, so one bad request cannot hurt the pipeline.
+        """
         h, w = self.input_size
         if image.shape[:2] != (h, w):
             from PIL import Image
@@ -98,9 +104,14 @@ class BatchingPredictor:
             image = np.asarray(
                 Image.fromarray(image).resize((w, h), Image.BILINEAR), np.uint8
             )
+        if image.shape != (h, w, 3):
+            raise ValueError(
+                f"expected an (H, W, 3) RGB image, got shape {image.shape}"
+            )
+        deadline = time.perf_counter() + timeout
         req = _Request(image)
         self.queue.put(req, timeout=timeout)
-        if not req.event.wait(timeout):
+        if not req.event.wait(max(0.0, deadline - time.perf_counter())):
             raise TimeoutError("predict timed out")
         if req.error is not None:
             raise req.error
@@ -125,8 +136,19 @@ class BatchingPredictor:
                 except queue.Empty:
                     break
             images = np.zeros((self.max_batch, h, w, 3), np.uint8)
-            for i, req in enumerate(batch):
-                images[i] = req.image
+            kept = []
+            for req in batch:
+                # predict() validates shape, but a caller bypassing it must
+                # not be able to kill the shared dispatcher thread.
+                try:
+                    images[len(kept)] = req.image
+                    kept.append(req)
+                except Exception as e:
+                    req.error = ValueError(f"bad image: {e}")
+                    req.event.set()
+            batch = kept
+            if not batch:
+                continue
             try:
                 # Asynchronous under JAX: returns a device array future;
                 # compute proceeds while we collect the next batch.
@@ -258,10 +280,24 @@ class ServingServer:
                     from PIL import Image
 
                     image = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
-                    mask = predictor.predict(image)
-                except Exception as e:
+                except Exception as e:  # malformed upload: client error
                     self._send(
                         json.dumps({"error": str(e)}).encode(), "application/json", 400
+                    )
+                    return
+                try:
+                    mask = predictor.predict(image)
+                except ValueError as e:  # bad image shape: client error
+                    self._send(
+                        json.dumps({"error": str(e)}).encode(), "application/json", 400
+                    )
+                    return
+                except Exception as e:
+                    # overload / shutdown / device failure: server error, so
+                    # clients and load balancers retry or shed load
+                    code = 503 if isinstance(e, (queue.Full, TimeoutError)) else 500
+                    self._send(
+                        json.dumps({"error": str(e)}).encode(), "application/json", code
                     )
                     return
                 if "application/json" in (self.headers.get("Accept") or ""):

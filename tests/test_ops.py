@@ -149,3 +149,48 @@ def test_adaptive_pool_fuzz_sweep(rng):
             ours, theirs, rtol=1e-5, atol=1e-6,
             err_msg=f"trial {trial}: {in_h}x{in_w}->{out_h}x{out_w}",
         )
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((16, 32), (128, 256)), ((128, 256), (16, 32)), ((7, 5), (23, 31)), ((4, 4), (4, 4))],
+)
+def test_resize_bilinear_matmul_matches_gather(rng, in_hw, out_hw, align_corners):
+    """The MXU interp-matmul formulation must reproduce the two-tap
+    gather path (identical weights; only summation order differs)."""
+    from fastscnn_tpu.ops.resize import resize_bilinear_matmul
+
+    x = jnp.asarray(rng.standard_normal((2, *in_hw, 19)).astype(np.float32))
+    want = resize_bilinear(x, out_hw, align_corners=align_corners)
+    got = resize_bilinear_matmul(x, out_hw, align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # channel-free 3-D form
+    x3 = x[..., 0]
+    want3 = resize_bilinear(x3, out_hw, align_corners=align_corners)
+    got3 = resize_bilinear_matmul(x3, out_hw, align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want3), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_final_upsample_matmul_matches_gather(rng):
+    """Serving masks must agree between the 'matmul' and 'gather'
+    final-upsample formulations (flips possible only at exact bf16
+    ties; none expected on random weights)."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    model = FastSCNN(num_classes=7)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 7)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    masks = {}
+    for mode in ("matmul", "gather"):
+        eng = InferenceEngine(
+            model, params, state,
+            config=E2EConfig(compute_dtype="float32", final_upsample=mode),
+        )
+        masks[mode] = eng.predict(x)
+    diff = np.mean(masks["matmul"] != masks["gather"])
+    assert diff < 1e-3, f"mask diff {diff:.2%} between upsample formulations"
