@@ -57,8 +57,11 @@ class E2EConfig:
     instead of an argmax mask.
     ``final_upsample``: formulation of the final ×8 logits upsample —
     'matmul' (default; interp-matrix MXU contractions, the fast path on
-    TPU) or 'gather' (two-tap lerp gathers, minimal-FLOP reference
-    path). Same bilinear weights either way; see ops/resize.py.
+    TPU), 'gather' (two-tap lerp gathers, minimal-FLOP reference path),
+    or 'pallas' (mask path only: fused upsample+argmax kernel, zero
+    full-res logits in HBM; softmax/logits fall back to 'matmul'). Same
+    bilinear weights in all three; see ops/resize.py and
+    ops/pallas/upsample_argmax.py.
     """
 
     internal_size: tuple[int, int] | None = None
@@ -125,19 +128,24 @@ class InferenceEngine:
             x = (x - mean) / std
         return x
 
-    def _forward(self, images: jnp.ndarray, resize_back: bool = False):
+    def _net_in_size(self, images_shape):
+        return self.config.internal_size or tuple(images_shape[1:3])
+
+    def _forward(self, images: jnp.ndarray, resize_back: bool = False,
+                 upsample: bool = True):
         x = self._preprocess(images)
         logits = self.model.apply_folded(self.folded, x, upsample_outputs=False)[0]
-        if logits.shape[1:3] != x.shape[1:3]:
+        if upsample and logits.shape[1:3] != x.shape[1:3]:
             # The network's final ×8 align_corners=True upsample
             # (reference:models/fast_scnn.py:40), done outside the folded
             # graph so serving can pick the formulation: interp-matmul on
             # the MXU ('matmul') or the two-tap lane-gather path
             # ('gather') — benchmarked in docs/PERFORMANCE.md.
             up = (
-                resize_bilinear_matmul
-                if self.config.final_upsample == "matmul"
-                else resize_bilinear
+                resize_bilinear
+                if self.config.final_upsample == "gather"
+                else resize_bilinear_matmul  # 'matmul', and the fallback
+                # for 'pallas' on the softmax/logits (non-mask) paths
             )
             logits = up(logits, (x.shape[1], x.shape[2]), align_corners=True)
         if resize_back and logits.shape[1:3] != images.shape[1:3]:
@@ -148,18 +156,32 @@ class InferenceEngine:
             )
         return logits
 
+    def _mask_at_net_res(self, images):
+        """argmax mask at the network's input resolution. 'pallas' fuses
+        the ×8 upsample and the argmax in one kernel (no full-res logits
+        in HBM); other modes upsample in `_forward` then argmax."""
+        if self.config.final_upsample == "pallas":
+            from fastscnn_tpu.ops.pallas.upsample_argmax import upsample_argmax
+
+            logits = self._forward(images, upsample=False)
+            return upsample_argmax(
+                logits, self._net_in_size(images.shape),
+                align_corners=True, use_pallas=True,
+            )
+        return jnp.argmax(self._forward(images), axis=-1).astype(jnp.int32)
+
     def _build_predict(self, shape):
         out_size = shape[1:3]
         cfg = self.config
 
         def fn(images):
-            logits = self._forward(images)
             if cfg.softmax:
+                logits = self._forward(images)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 if probs.shape[1:3] != tuple(out_size):
                     probs = resize_bilinear(probs, out_size, align_corners=False)
                 return probs
-            mask = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            mask = self._mask_at_net_res(images)
             if mask.shape[1:3] != tuple(out_size):
                 mask = resize_nearest(mask, out_size, h_axis=1, w_axis=2)
             return mask
@@ -229,8 +251,7 @@ class InferenceEngine:
         out_size = shape[1:3]
 
         def one(x):
-            logits = self._forward(x)
-            mask = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            mask = self._mask_at_net_res(x)
             if mask.shape[1:3] != tuple(out_size):
                 mask = resize_nearest(mask, out_size, h_axis=1, w_axis=2)
             return mask

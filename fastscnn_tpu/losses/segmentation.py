@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from fastscnn_tpu.ops.resize import resize_bilinear
+# The matmul formulation: same bilinear weights as the two-tap gather
+# path, applied as MXU contractions. In the training step this is a pure
+# win — the gather's backward is a scatter, which serializes on TPU.
+# Measured (interleaved A/B, v5e, 2026-08-17): 19-class CE bs16 768²
+# 251 → 394 samples/s (+57%); 2-class dice bs64 480² 1,639 → 1,807
+# (+10%). Numerics differ from the gather path only in f32 summation
+# order (sub-ulp vs the torch reference's tolerance).
+from fastscnn_tpu.ops.resize import resize_bilinear_matmul as resize_bilinear
 
 __all__ = [
     "dice_loss",

@@ -79,12 +79,13 @@ def upsample_argmax(
     n, h, w, c = logits.shape
     out_h, out_w = int(out_size[0]), int(out_size[1])
     if use_pallas is None:
-        # Default OFF pending an honest re-measure: the earlier
-        # "XLA gather path wins" A/B ran through the loop-hoisting
-        # benchmark bug (docs/PERFORMANCE.md, 2026-08-17 correction)
-        # which attenuated differences ~30×. The honest trace puts the
-        # gather path at ~55% of E2E, ~20× above its op floor, so this
-        # kernel is a live candidate again.
+        # Default OFF, by honest measurement (2026-08-17, interleaved
+        # E2E A/B on v5e): this kernel reaches 959 fps at batch 64 vs
+        # 1,132 fps for the plain-XLA interp-matmul path
+        # (ops/resize.py::resize_bilinear_matmul + argmax) — XLA
+        # pipelines the big W-contraction better and already fuses the
+        # argmax. Selectable via E2EConfig.final_upsample='pallas';
+        # revisit for C ≫ 19.
         use_pallas = False
     th = _pick_tile(out_h)
     # VMEM budget: full input strip + A_H + A_W + f32 expansion buffer.

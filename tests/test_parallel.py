@@ -164,25 +164,37 @@ def test_grad_accum_matches_manual_microbatching(setup, rng):
         params_copy, mstate_copy, images, targets, key
     )
 
-    # Tolerances sit above the scan-vs-unrolled reassociation noise
-    # (measured: isolated elements drift up to ~4e-6 abs / 0.6% rel via
-    # small-batch BN-backward cancellation, and the drift varies with jit
-    # cache state) but far below any semantic error: a wrong rng fold /
-    # slice / missing ÷grad_accum moves loss and updates globally by
-    # their own magnitude.
+    # Comparison is per-leaf UPDATE-NORM relative error, not elementwise:
+    # the scan-compiled step and the unrolled reference fuse reductions
+    # differently, and isolated elements drift by up to ~2e-5 through
+    # small-batch BN-backward cancellation — a noise floor that moves
+    # whenever the loss graph changes. Norm-level noise RMS-averages out
+    # (~1e-3 of the update norm), while any semantic error (wrong rng
+    # fold / slice / missing ÷grad_accum / un-threaded BN state) shifts
+    # the WHOLE update, giving ratios of O(0.3–1).
     np.testing.assert_allclose(
         float(metrics["loss"]), float(want_loss), rtol=1e-3, atol=1e-5
     )
-    flat_got = jax.tree_util.tree_leaves(new_state.params)
-    flat_want = jax.tree_util.tree_leaves(want_params)
-    for a, b in zip(flat_got, flat_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-5)
+
+    def assert_update_close(got, want, base, what):
+        for g, w, b in zip(
+            jax.tree_util.tree_leaves(got),
+            jax.tree_util.tree_leaves(want),
+            jax.tree_util.tree_leaves(base),
+        ):
+            g, w, b = (np.asarray(t, np.float64) for t in (g, w, b))
+            err = np.linalg.norm((g - w).ravel())
+            update = np.linalg.norm((w - b).ravel())
+            if update < 1e-8:  # untouched leaf: any difference is a bug
+                assert err < 1e-6, f"{what}: drift {err} on unchanged leaf"
+            else:
+                assert err / update < 0.05, (
+                    f"{what}: ||got-want||/||update|| = {err / update:.3f}"
+                )
+
+    assert_update_close(new_state.params, want_params, params_copy, "params")
     # BN stats come from the threaded microbatch sequence
-    for a, b in zip(
-        jax.tree_util.tree_leaves(new_state.model_state),
-        jax.tree_util.tree_leaves(want_ms),
-    ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-5)
+    assert_update_close(new_state.model_state, want_ms, mstate_copy, "bn state")
 
 
 def test_grad_accum_on_dp_mesh(setup, rng):
