@@ -37,7 +37,7 @@ from fastscnn_tpu.ops.conv import (
     fold_conv_bn,
 )
 from fastscnn_tpu.ops.pool import adaptive_avg_pool
-from fastscnn_tpu.ops.resize import resize_bilinear
+from fastscnn_tpu.ops.resize import resize_bilinear, resize_bilinear_matmul
 
 __all__ = ["FastSCNN", "init_fast_scnn", "fold_inference_params"]
 
@@ -343,12 +343,19 @@ class FastSCNN:
         for conv_name, pool_size in zip(("conv1", "conv2", "conv3", "conv4"), self.ppm_sizes):
             z = adaptive_avg_pool(y, pool_size)
             z = cbr(g["ppm"][conv_name], z)
-            feats.append(resize_bilinear(z, psize, align_corners=self.ppm_align_corners))
+            feats.append(
+                resize_bilinear_matmul(z, psize, align_corners=self.ppm_align_corners)
+            )
         y = jnp.concatenate(feats, axis=-1)
         lower = cbr(g["ppm"]["out"], y)
         # FFM
         f = p["feature_fusion"]
-        lo = resize_bilinear(lower, (higher.shape[1], higher.shape[2]), align_corners=True)
+        # Matmul-formulated resizes in the folded (serving) graph: the FFM
+        # ×4 upsample was 9.5% of E2E as lane gathers (docs/PERFORMANCE.md);
+        # the training-mode apply() above keeps the bit-exact gather path.
+        lo = resize_bilinear_matmul(
+            lower, (higher.shape[1], higher.shape[2]), align_corners=True
+        )
         lo = cbr(f["dwconv"], lo, padding=1, groups=lo.shape[-1])
         lo = cbr(f["conv_lower_res"], lo, relu=False)
         hi = cbr(f["conv_higher_res"], higher, relu=False)
@@ -359,13 +366,13 @@ class FastSCNN:
         y = ds(c["dsconv2"], y)
         logits = conv2d(y, c["conv"]["w"], c["conv"]["b"])
         if upsample_outputs:
-            logits = resize_bilinear(logits, size, align_corners=True)
+            logits = resize_bilinear_matmul(logits, size, align_corners=True)
         if self.aux and "auxlayer" in p:
             a = p["auxlayer"]
             z = cbr(a["conv1"], higher, padding=1)
             auxout = conv2d(z, a["conv2"]["w"], a["conv2"]["b"])
             if upsample_outputs:
-                auxout = resize_bilinear(auxout, size, align_corners=True)
+                auxout = resize_bilinear_matmul(auxout, size, align_corners=True)
             return (logits, auxout)
         return (logits,)
 

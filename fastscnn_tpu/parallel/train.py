@@ -29,6 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fastscnn_tpu.engine.infer import IMAGENET_MEAN, IMAGENET_STD
 from fastscnn_tpu.models.fast_scnn import FastSCNN
+from fastscnn_tpu.ops.resize import resize_bilinear_matmul
 from fastscnn_tpu.utils.metric import seg_hist_update
 
 from fastscnn_tpu.utils.profiling import enable_compilation_cache
@@ -248,8 +249,18 @@ def make_eval_step(
     def step(params, model_state, images, targets):
         x = _normalize(images, mean, std, compute_dtype)
         cast = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
-        outputs, _ = model.apply(cast, model_state, x, training=False)
-        pred = jnp.argmax(outputs[0], axis=-1).astype(jnp.int32)
+        # Low-res logits + interp-matmul final upsample: same bilinear
+        # weights as the in-model gather path but on the MXU (~2.7× E2E
+        # on TPU — docs/PERFORMANCE.md); near-tie argmax flips only.
+        outputs, _ = model.apply(
+            cast, model_state, x, training=False, upsample_outputs=False
+        )
+        logits = outputs[0]
+        if logits.shape[1:3] != x.shape[1:3]:
+            logits = resize_bilinear_matmul(
+                logits, (x.shape[1], x.shape[2]), align_corners=True
+            )
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         correct, labeled, inter, union = seg_hist_update(pred, targets, num_classes)
         return pred, (correct, labeled, inter, union)
 
