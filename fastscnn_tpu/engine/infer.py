@@ -58,10 +58,13 @@ class E2EConfig:
     ``final_upsample``: formulation of the final ×8 logits upsample —
     'matmul' (default; interp-matrix MXU contractions, the fast path on
     TPU), 'gather' (two-tap lerp gathers, minimal-FLOP reference path),
-    or 'pallas' (mask path only: fused upsample+argmax kernel, zero
-    full-res logits in HBM; softmax/logits fall back to 'matmul'). Same
-    bilinear weights in all three; see ops/resize.py and
-    ops/pallas/upsample_argmax.py.
+    'pallas' (mask path only: fused upsample+argmax kernel, zero
+    full-res logits in HBM; softmax/logits fall back to 'matmul'), or
+    'argmax-first' (mask path only, OPT-IN SEMANTIC CHANGE: argmax at
+    the classifier's 1/8 resolution, nearest-expanded — mask boundaries
+    quantize to the 8-px grid, trading boundary fidelity for speed).
+    The first three share identical bilinear weights; see ops/resize.py
+    and ops/pallas/upsample_argmax.py.
     """
 
     internal_size: tuple[int, int] | None = None
@@ -159,7 +162,9 @@ class InferenceEngine:
     def _mask_at_net_res(self, images):
         """argmax mask at the network's input resolution. 'pallas' fuses
         the ×8 upsample and the argmax in one kernel (no full-res logits
-        in HBM); other modes upsample in `_forward` then argmax."""
+        in HBM); 'argmax-first' argmaxes at 1/8 res and nearest-expands
+        (a semantic change — mask boundaries quantize to the 8-px grid);
+        other modes upsample in `_forward` then argmax."""
         if self.config.final_upsample == "pallas":
             from fastscnn_tpu.ops.pallas.upsample_argmax import upsample_argmax
 
@@ -168,6 +173,10 @@ class InferenceEngine:
                 logits, self._net_in_size(images.shape),
                 align_corners=True, use_pallas=True,
             )
+        if self.config.final_upsample == "argmax-first":
+            logits = self._forward(images, upsample=False)
+            mask = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return resize_nearest(mask, self._net_in_size(images.shape))
         return jnp.argmax(self._forward(images), axis=-1).astype(jnp.int32)
 
     def _build_predict(self, shape):

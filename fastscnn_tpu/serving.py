@@ -347,6 +347,11 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--final-upsample", type=str, default="matmul",
+                        choices=["matmul", "gather", "pallas", "argmax-first"],
+                        help="mask upsample formulation (engine.E2EConfig); "
+                        "'argmax-first' is the opt-in fast mode (+22% fps, "
+                        "mask boundaries quantize to the 8-px grid)")
     args = parser.parse_args(argv)
 
     import jax
@@ -378,7 +383,8 @@ def main(argv=None):
     )
     engine = InferenceEngine(
         model, params, state,
-        config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype),
+        config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype,
+                         final_upsample=args.final_upsample),
         mesh=mesh,
     )
     fn = engine.predict_fn((args.max_batch, args.height, args.width, 3))

@@ -195,3 +195,28 @@ def test_engine_final_upsample_matmul_matches_gather(rng):
     for mode in ("gather", "pallas"):
         diff = np.mean(masks["matmul"] != masks[mode])
         assert diff < 1e-3, f"mask diff {diff:.2%} matmul vs {mode}"
+
+
+def test_engine_argmax_first_mode(rng):
+    """'argmax-first' (opt-in fast mode) must produce a full-res mask that
+    agrees with the exact path away from class boundaries."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    model = FastSCNN(num_classes=7)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 7)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    exact = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32")
+    ).predict(x)
+    fast = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="argmax-first"),
+    ).predict(x)
+    assert fast.shape == exact.shape
+    # nearest-expanded 1/8 argmax: identical inside regions, differs only
+    # near boundaries — random-init logits are smooth enough for >60%
+    agreement = np.mean(fast == exact)
+    assert agreement > 0.6, f"agreement {agreement:.2%}"
