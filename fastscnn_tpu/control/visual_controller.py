@@ -116,6 +116,10 @@ class VisualLateralErrorController:
             "smoothing_effect": abs(raw_error - lateral_error) if self.enable_smoothing else 0.0,
         }
         self.control_history.append(result.copy())
+        if len(self.control_history) > 10_000:
+            # bound the history: a 30 Hz loop would otherwise grow without
+            # limit, and save_control_data only reads the last 10 entries
+            del self.control_history[:-5_000]
         return result
 
     # -- EMA state management -------------------------------------------------
@@ -169,7 +173,8 @@ class VisualLateralErrorController:
         except Exception:  # pragma: no cover
             return control_map
         annotated = control_map.copy()
-        if control_result["car_position"] is None:
+        if control_result.get("car_position") is None:
+            # also the no-path stop dict from the pipeline safety gate
             return annotated
         car = self._world_to_pixel(control_result["car_position"], view_params)
         cv2.circle(annotated, (int(car[0]), int(car[1])), 8, (0, 255, 0), 3)

@@ -117,7 +117,10 @@ class BDD100KSegmentation:
                 img, mask = self.tf.train(img, mask)
         elif self.mode == "val":
             if self.keep_original_size:
-                img, mask = self.tf.original_size(img, mask)
+                # deterministic: original resolution, NO random flip/blur —
+                # tf.original_size is a train transform; routing val through
+                # it made repeated evaluations stochastic
+                pass
             else:
                 img, mask = self.tf.val(img, mask)
         else:

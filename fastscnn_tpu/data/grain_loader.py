@@ -9,7 +9,10 @@ Augmentation randomness: Grain workers are separate processes, so the
 reference's shared-global-``random`` pattern would de-synchronize; each
 ``__getitem__`` here seeds a private RNG from (seed, epoch, index),
 making every record reproducible independently of worker scheduling —
-a determinism upgrade the reference cannot express.
+a determinism upgrade the reference cannot express. Epoch diversity
+comes from building one Grain loader per epoch with an epoch-mixed
+seed (Grain's record keys don't carry the epoch, so the source must be
+reseeded between epochs).
 
 Select with ``--loader grain`` in the trainer; falls back to the
 threaded loader when grain is unavailable.
@@ -19,28 +22,39 @@ from __future__ import annotations
 
 import random as _random
 import threading
+import weakref
 
 import numpy as np
 
 __all__ = ["GrainDataLoader", "make_grain_loader"]
 
+# One augmentation lock per dataset OBJECT (not per source): two sources
+# over the same dataset — or grain's prefetch thread racing the caller —
+# would interleave the RNG swaps in __getitem__ and feed one record's RNG
+# to another. Kept in a module-level weak map so the source (and the
+# dataset) stay picklable for multiprocess workers; each worker process
+# simply gets its own lock for its own dataset copy.
+_AUG_LOCKS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_AUG_LOCKS_GUARD = threading.Lock()
+
+
+def _aug_lock(dataset):
+    with _AUG_LOCKS_GUARD:
+        lock = _AUG_LOCKS.get(dataset)
+        if lock is None:
+            lock = threading.Lock()
+            _AUG_LOCKS[dataset] = lock
+        return lock
+
 
 class _DatasetSource:
     """Grain RandomAccessDataSource over one of our datasets, with
-    per-record deterministic augmentation RNG."""
+    per-record deterministic augmentation RNG. Picklable (the lock lives
+    in the module-level weak map, not on the instance or the dataset)."""
 
     def __init__(self, dataset, seed: int = 0):
         self.dataset = dataset
         self.seed = seed
-        # __getitem__ temporarily swaps the dataset's augmentation RNG.
-        # Two loaders over the SAME dataset object (or grain's prefetch
-        # thread racing the caller) would interleave those swaps and feed
-        # one record's RNG to another, so all sources serialize on a lock
-        # stored on the dataset itself. Multiprocess workers are
-        # unaffected: each worker unpickles its own dataset copy.
-        if not hasattr(dataset, "_aug_rng_lock"):
-            dataset._aug_rng_lock = threading.Lock()
-        self._lock = dataset._aug_rng_lock
 
     def __len__(self):
         return len(self.dataset)
@@ -48,7 +62,7 @@ class _DatasetSource:
     def __getitem__(self, index: int):
         # Private, record-deterministic RNG for the PIL augmentations.
         rng = _random.Random(self.seed * 1_000_003 + index)
-        with self._lock:
+        with _aug_lock(self.dataset):
             tf = getattr(self.dataset, "tf", None)
             old = None
             if tf is not None:
@@ -68,7 +82,12 @@ class _DatasetSource:
 
 
 class GrainDataLoader:
-    """Iterable of (images u8 NHWC, targets i32 NHW) numpy batches."""
+    """Iterable of (images u8 NHWC, targets i32 NHW) numpy batches.
+
+    ``num_epochs`` > 1 iterates that many epochs back to back, building a
+    fresh Grain loader per epoch with seed ``seed + epoch`` — so both the
+    shuffle order AND the per-record augmentations differ between epochs
+    while staying fully deterministic."""
 
     def __init__(
         self,
@@ -80,32 +99,41 @@ class GrainDataLoader:
         seed: int = 0,
         num_epochs: int = 1,
     ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.num_epochs = num_epochs
+        n = len(dataset)
+        self._len = (n // batch_size if drop_last else -(-n // batch_size)) * num_epochs
+
+    def _epoch_loader(self, epoch: int):
         import grain.python as gp
 
-        self.batch_size = batch_size
-        source = _DatasetSource(dataset, seed=seed)
+        source = _DatasetSource(self.dataset, seed=self.seed + epoch)
         sampler = gp.IndexSampler(
             num_records=len(source),
             shard_options=gp.NoSharding(),
-            shuffle=shuffle,
-            num_epochs=num_epochs,
-            seed=seed,
+            shuffle=self.shuffle,
+            num_epochs=1,
+            seed=self.seed + epoch,
         )
-        self._loader = gp.DataLoader(
+        return gp.DataLoader(
             data_source=source,
             sampler=sampler,
-            operations=[gp.Batch(batch_size=batch_size, drop_remainder=drop_last)],
-            worker_count=num_workers,
+            operations=[gp.Batch(batch_size=self.batch_size, drop_remainder=self.drop_last)],
+            worker_count=self.num_workers,
         )
-        n = len(source)
-        self._len = (n // batch_size if drop_last else -(-n // batch_size)) * num_epochs
 
     def __len__(self):
         return self._len
 
     def __iter__(self):
-        for batch in self._loader:
-            yield batch["image"], batch["target"].astype(np.int32)
+        for epoch in range(self.num_epochs):
+            for batch in self._epoch_loader(epoch):
+                yield batch["image"], batch["target"].astype(np.int32)
 
 
 def make_grain_loader(dataset, **kwargs):

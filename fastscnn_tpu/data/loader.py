@@ -64,9 +64,25 @@ class DataLoader:
             yield idx
 
     @staticmethod
-    def _collate(samples):
-        images = [s[0] for s in samples]
-        targets = [s[1] for s in samples]
+    def _collate(samples, ignore_label: int = -1):
+        images = [np.asarray(s[0]) for s in samples]
+        targets = [np.asarray(s[1]) for s in samples]
+        if len({im.shape for im in images}) > 1:
+            # mixed native resolutions (testval mode): zero-pad images and
+            # ignore-pad targets to the batch max so the stack is legal
+            h = max(im.shape[0] for im in images)
+            w = max(im.shape[1] for im in images)
+            images = [
+                np.pad(im, ((0, h - im.shape[0]), (0, w - im.shape[1]), (0, 0)))
+                for im in images
+            ]
+            targets = [
+                np.pad(
+                    t, ((0, h - t.shape[0]), (0, w - t.shape[1])),
+                    constant_values=ignore_label,
+                )
+                for t in targets
+            ]
         return np.stack(images), np.stack(targets)
 
     def __iter__(self):
@@ -85,13 +101,20 @@ class DataLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idx in batch_iter:
-                    if stop.is_set():
-                        break
-                    samples = list(pool.map(self.dataset.__getitem__, idx))
-                    if not put_or_stop(self._collate(samples)):
-                        return
+            # Any failure must reach the consumer: a producer that dies
+            # without a sentinel leaves the training loop blocked forever
+            # on out_q.get() with the error only on stderr.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx in batch_iter:
+                        if stop.is_set():
+                            break
+                        samples = list(pool.map(self.dataset.__getitem__, idx))
+                        if not put_or_stop(self._collate(samples)):
+                            return
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                put_or_stop(("__error__", e))
+                return
             put_or_stop(None)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -101,6 +124,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch[0], str) and batch[0] == "__error__":
+                    raise batch[1]
                 yield batch
         finally:
             stop.set()

@@ -271,26 +271,34 @@ def add_grid_to_control_map(control_map, view_params):
     grid_color = (128, 128, 128)
     origin_color = (0, 0, 255)
 
-    x = min_x
-    while x <= max_x:
-        if abs(x % grid_interval) < 0.1:
-            px = int((x - min_x) * ppu)
-            if 0 <= px < out_w:
-                cv2.line(annotated, (px, 0), (px, out_h - 1), grid_color, 1)
-                if abs(x) > 0.1:
-                    cv2.putText(annotated, f"{int(x)}", (px + 2, 20),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.4, grid_color, 1)
-        x += grid_interval / 2
-    y = min_y
-    while y <= max_y:
-        if abs(y % grid_interval) < 0.1:
-            py = int((y - min_y) * ppu)
-            if 0 <= py < out_h:
-                cv2.line(annotated, (0, py), (out_w - 1, py), grid_color, 1)
-                if abs(y) > 0.1:
-                    cv2.putText(annotated, f"{int(y)}", (5, py - 5),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.4, grid_color, 1)
-        y += grid_interval / 2
+    # Iterate the actual multiples of grid_interval inside the view bounds:
+    # stepping from the fractional min_x and testing `x % 10 < 0.1` (the
+    # previous form) essentially never hits a multiple, so no grid was
+    # ever drawn.
+    import math
+
+    for x in range(
+        math.ceil(min_x / grid_interval) * grid_interval,
+        math.floor(max_x / grid_interval) * grid_interval + 1,
+        grid_interval,
+    ):
+        px = int((x - min_x) * ppu)
+        if 0 <= px < out_w:
+            cv2.line(annotated, (px, 0), (px, out_h - 1), grid_color, 1)
+            if x != 0:
+                cv2.putText(annotated, f"{x}", (px + 2, 20),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.4, grid_color, 1)
+    for y in range(
+        math.ceil(min_y / grid_interval) * grid_interval,
+        math.floor(max_y / grid_interval) * grid_interval + 1,
+        grid_interval,
+    ):
+        py = int((y - min_y) * ppu)
+        if 0 <= py < out_h:
+            cv2.line(annotated, (0, py), (out_w - 1, py), grid_color, 1)
+            if y != 0:
+                cv2.putText(annotated, f"{y}", (5, py - 5),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.4, grid_color, 1)
 
     ox = int((0 - min_x) * ppu)
     oy = int((0 - min_y) * ppu)

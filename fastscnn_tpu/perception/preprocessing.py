@@ -56,9 +56,15 @@ def preprocess_matched_resolution(
 def postprocess_matched_resolution(
     output_tensor: np.ndarray, original_width: int, original_height: int
 ) -> np.ndarray:
-    """(1, C, H, W) logits → (original_height, original_width) 0/255 mask."""
+    """(1, C, H, W) logits → (original_height, original_width) 0/255 mask.
+
+    Matches reference:onnx_single_image_inference.py:210-236 for the
+    binary models it was written for (class 1 → 255). For C > 2 any
+    non-background argmax maps to 255 — ``pred * 255`` would wrap in
+    uint8 (class 2 → 254, class 3 → 253, …) and corrupt downstream
+    ``mask > 0`` consumers."""
     pred_mask = np.argmax(output_tensor, axis=1).squeeze()
-    vis_mask = (pred_mask * 255).astype(np.uint8)
+    vis_mask = np.where(pred_mask > 0, 255, 0).astype(np.uint8)
     model_height, model_width = vis_mask.shape
     if original_width != model_width or original_height != model_height:
         vis_mask = _resize(vis_mask, original_width, original_height, nearest=True)

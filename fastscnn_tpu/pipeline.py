@@ -119,7 +119,22 @@ def inference_single_image(
         if enable_control and result.get("path_data"):
             with timer.stage("control"):
                 controller = controller or VisualLateralErrorController()
-                control_result = controller.compute_wheel_pwm(result["path_data"], view_params)
+                if result["path_data"].get("waypoints"):
+                    control_result = controller.compute_wheel_pwm(
+                        result["path_data"], view_params
+                    )
+                else:
+                    # No centerline found (occluded camera, off-road):
+                    # commanding the controller would default lateral
+                    # error to 0 and drive STRAIGHT AT FULL BASE PWM with
+                    # no road in sight. Command a stop instead.
+                    control_result = {
+                        "pwm_left": 0,
+                        "pwm_right": 0,
+                        "lateral_error": None,
+                        "steering": 0.0,
+                        "status": "no_path_stop",
+                    }
                 result["control_result"] = control_result
                 result["control_map"] = controller.generate_control_visualization(
                     result["control_map"], control_result, view_params
@@ -169,7 +184,11 @@ def parse_args(argv=None):
     parser.add_argument("--bird-eye", action="store_true", default=True)
     parser.add_argument("--no-bird-eye", dest="bird_eye", action="store_false")
     parser.add_argument("--save-control-map", action="store_true", default=True)
+    parser.add_argument("--no-save-control-map", dest="save_control_map",
+                        action="store_false")
     parser.add_argument("--enable-control", action="store_true", default=True)
+    parser.add_argument("--no-enable-control", dest="enable_control",
+                        action="store_false")
     parser.add_argument("--edge-computing", action="store_true", default=False)
     parser.add_argument("--pixels-per-unit", type=int, default=20)
     parser.add_argument("--margin-ratio", type=float, default=0.1)
@@ -242,10 +261,14 @@ def main(argv=None):
     result["perf"].print_performance_analysis("single-image pipeline")
     if result.get("control_result"):
         cr = result["control_result"]
-        print(
-            f"control: error {cr['lateral_error']:+.1f} cm -> "
-            f"L {cr['pwm_left']:+.0f} R {cr['pwm_right']:+.0f} PWM ({cr['turn_direction']})"
-        )
+        if cr.get("lateral_error") is None:  # no-path safety stop
+            print("control: no centerline found -> STOP (pwm 0/0)")
+        else:
+            print(
+                f"control: error {cr['lateral_error']:+.1f} cm -> "
+                f"L {cr['pwm_left']:+.0f} R {cr['pwm_right']:+.0f} PWM "
+                f"({cr['turn_direction']})"
+            )
     return result
 
 

@@ -265,3 +265,72 @@ def test_dataloader_batching(city_tree):
     # two epochs shuffle differently but cover the same data
     b2 = list(loader)
     assert len(b2) == len(batches)
+
+
+def test_loader_propagates_dataset_errors():
+    """A dataset exception must surface in the consumer, not hang the
+    training loop forever on a queue whose producer died silently."""
+    from fastscnn_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("corrupt sample")
+            return np.zeros((8, 8, 3), np.uint8), np.zeros((8, 8), np.int32)
+
+    loader = DataLoader(Bad(), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(loader)
+
+
+def test_loader_pads_mixed_resolutions():
+    from fastscnn_tpu.data.loader import DataLoader
+
+    class Mixed:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            s = 8 + 4 * i
+            return np.full((s, s, 3), 7, np.uint8), np.ones((s, s), np.int32)
+
+    images, targets = next(iter(DataLoader(Mixed(), batch_size=2)))
+    assert images.shape == (2, 12, 12, 3) and targets.shape == (2, 12, 12)
+    assert (targets[0, 8:, :] == -1).all()  # ignore-padded
+    assert (images[0, 8:, :, :] == 0).all()  # zero-padded
+
+
+def test_grain_loader_multiprocess_workers(custom_tree):
+    """The grain source must pickle (multiprocess workers); a lock stored
+    on the source or dataset breaks this."""
+    pytest.importorskip("grain.python")
+    from fastscnn_tpu.data import get_segmentation_dataset
+    from fastscnn_tpu.data.grain_loader import GrainDataLoader
+
+    ds = get_segmentation_dataset(
+        "custom", root=custom_tree, split="train", base_size=64, crop_size=32
+    )
+    loader = GrainDataLoader(ds, batch_size=2, shuffle=True, seed=1, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 2
+
+
+def test_grain_loader_epochs_vary_augmentation(custom_tree):
+    """num_epochs > 1 must NOT apply byte-identical augmentations each
+    epoch (per-epoch seed mixing)."""
+    pytest.importorskip("grain.python")
+    from fastscnn_tpu.data import get_segmentation_dataset
+    from fastscnn_tpu.data.grain_loader import GrainDataLoader
+
+    ds = get_segmentation_dataset(
+        "custom", root=custom_tree, split="train", base_size=64, crop_size=32
+    )
+    loader = GrainDataLoader(ds, batch_size=2, shuffle=False, seed=5, num_epochs=2)
+    batches = list(loader)
+    half = len(batches) // 2
+    epoch1 = np.concatenate([b[0].ravel() for b in batches[:half]])
+    epoch2 = np.concatenate([b[0].ravel() for b in batches[half:]])
+    assert not np.array_equal(epoch1, epoch2), "identical augs across epochs"

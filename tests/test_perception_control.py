@@ -203,3 +203,53 @@ def test_controller_ema_hot_update():
     assert ctrl.ema_alpha == 0.1  # clamped to [0.1, 1.0]
     ctrl.update_smoothing_params(enable_smoothing=False)
     assert ctrl.ema_lateral_error is None
+
+
+def test_postprocess_multiclass_does_not_wrap():
+    """C>2 argmax must map any non-background class to 255, not wrap in
+    uint8 (class 2 -> 254 etc.)."""
+    from fastscnn_tpu.perception.preprocessing import postprocess_matched_resolution
+
+    logits = np.zeros((1, 19, 4, 4), np.float32)
+    logits[0, 2] = 5.0  # class 2 wins everywhere
+    mask = postprocess_matched_resolution(logits, 4, 4)
+    assert set(np.unique(mask)) == {255}
+    logits[0, 2] = 0.0
+    logits[0, 0] = 5.0  # background wins
+    mask = postprocess_matched_resolution(logits, 4, 4)
+    assert set(np.unique(mask)) == {0}
+
+
+def test_control_map_grid_actually_draws():
+    """Grid lines must land on multiples of 10 inside fractional view
+    bounds (the old modulo test never matched)."""
+    cv2 = pytest.importorskip("cv2")
+    from fastscnn_tpu.perception.path_planning import add_grid_to_control_map
+
+    view_params = {
+        "view_bounds": (-86.32, -54.44, 122.35, 54.00),
+        "pixels_per_unit": 2,
+        "output_size": (418, 217),
+    }
+    base = np.zeros((217, 418, 3), np.uint8)
+    out = add_grid_to_control_map(base.copy(), view_params)
+    assert (out != base).any(), "no grid drawn"
+
+
+def test_pipeline_stops_when_no_centerline():
+    """A frame with no drivable area must produce a STOP command (pwm 0),
+    not full-base-PWM straight (lateral error defaulting to 0)."""
+    from fastscnn_tpu.pipeline import inference_single_image
+
+    class NoRoadSession:
+        def infer(self, feeds):
+            _, _, h, w = feeds[0].shape
+            logits = np.zeros((1, 2, h, w), np.float32)
+            logits[0, 0] = 5.0  # background wins everywhere
+            return [logits]
+
+    frame = np.random.default_rng(0).integers(0, 255, (360, 640, 3), dtype=np.uint8)
+    result = inference_single_image(frame, NoRoadSession(), enable_control=True)
+    cr = result["control_result"]
+    assert cr["pwm_left"] == 0 and cr["pwm_right"] == 0
+    assert cr.get("status") == "no_path_stop"
