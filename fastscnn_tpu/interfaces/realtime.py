@@ -138,6 +138,11 @@ class RealtimePipeline:
         self.web_data: dict = {"frame_count": 0, "fps": 0.0}
         self.web_data_lock = threading.Lock()
         self.params_lock = threading.Lock()
+        # serializes drive commands against emergency_stop: without it the
+        # pipeline thread can pass the enabled-check, lose the CPU, and
+        # send a nonzero-PWM packet AFTER the web thread's stop packet —
+        # up to 500 ms of uncommanded motion until the firmware watchdog
+        self.drive_lock = threading.Lock()
         self.pending_params: dict = {}
         self.driving_enabled = False
         self.emergency_stopped = False
@@ -159,10 +164,11 @@ class RealtimePipeline:
 
     def emergency_stop(self):
         """reference:web_interface.py:895-916 + controller EMA reset."""
-        self.emergency_stopped = True
-        self.driving_enabled = False
-        if self.car is not None:
-            self.car.stop()
+        with self.drive_lock:
+            self.emergency_stopped = True
+            self.driving_enabled = False
+            if self.car is not None:
+                self.car.stop()
         self.controller.reset_ema_state()
 
     def get_stats(self) -> dict:
@@ -209,8 +215,12 @@ class RealtimePipeline:
         self.frame_count += 1
 
         control = result.get("control_result")
-        if control and self.driving_enabled and not self.emergency_stopped and self.car is not None:
-            self.car.set_wheel_speeds(int(control["pwm_left"]), int(control["pwm_right"]))
+        if control and self.car is not None:
+            with self.drive_lock:  # flag check + send are atomic vs e-stop
+                if self.driving_enabled and not self.emergency_stopped:
+                    self.car.set_wheel_speeds(
+                        int(control["pwm_left"]), int(control["pwm_right"])
+                    )
 
         with self.web_data_lock:
             self.web_data.update(

@@ -15,10 +15,13 @@ through the native bridge.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
 import time
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "load_bridge",
@@ -254,10 +257,17 @@ class SimpleCarController:
         if not self.is_connected or self.serial is None:
             return False
         with self.lock:
-            if hasattr(self.serial, "send_speeds"):
-                self.serial.send_speeds(left_speed, right_speed)
-            else:  # duck-typed transport with .write
-                self.serial.write(pack_packet(left_speed, right_speed))
+            try:
+                if hasattr(self.serial, "send_speeds"):
+                    self.serial.send_speeds(left_speed, right_speed)
+                else:  # duck-typed transport with .write
+                    self.serial.write(pack_packet(left_speed, right_speed))
+            except OSError as e:
+                # transient link failure: warn-and-continue like the camera
+                # path (the firmware watchdog is the safety net); the next
+                # frame retries because the cached speeds stay unchanged
+                logger.warning("serial send failed: %s", e)
+                return False
             return True
 
     # -- public API (reference-parity) ----------------------------------------
@@ -265,7 +275,12 @@ class SimpleCarController:
         left_speed = max(self.min_speed, min(self.max_speed, left_speed))
         right_speed = max(self.min_speed, min(self.max_speed, right_speed))
         if left_speed == self.left_wheel_speed and right_speed == self.right_wheel_speed:
-            return True
+            # Identical command: still KEEPALIVE before the firmware's
+            # 500 ms silence watchdog fires (car/simple_car_controller
+            # _stm32.c:74-81 auto-stops) — suppressing all repeats would
+            # stop the car on any constant-speed stretch.
+            if time.time() - self.last_command_time < self.command_timeout / 2:
+                return True
         ok = self._send_speed_command(left_speed, right_speed)
         if ok:
             self.left_wheel_speed = left_speed

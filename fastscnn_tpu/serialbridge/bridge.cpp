@@ -19,6 +19,7 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -242,12 +243,28 @@ int sb_open(const char* device, int baud) {
 }
 
 int sb_send(int fd, int16_t left, int16_t right) {
+  // The fd is O_NONBLOCK: a full UART tx buffer surfaces as EAGAIN, which
+  // is a transient condition, not an error — wait for writability (up to
+  // 50 ms, far under the 500 ms command watchdog) instead of failing the
+  // whole control loop over one busy buffer.
   uint8_t pkt[7];
   sb_pack(left, right, pkt);
   int written = 0;
   while (written < 7) {
     ssize_t n = ::write(fd, pkt + written, 7 - written);
-    if (n < 0) return -1;
+    if (n < 0) {
+      if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) {
+        fd_set wfds;
+        FD_ZERO(&wfds);
+        FD_SET(fd, &wfds);
+        struct timeval tv;
+        tv.tv_sec = 0;
+        tv.tv_usec = 50 * 1000;
+        if (select(fd + 1, nullptr, &wfds, nullptr, &tv) <= 0) return -1;
+        continue;
+      }
+      return -1;
+    }
     written += static_cast<int>(n);
   }
   return 7;

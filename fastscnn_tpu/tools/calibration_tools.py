@@ -169,7 +169,16 @@ def main(argv=None):
         pts = _pick_points(args.image)
         if len(pts) != 4:
             raise SystemExit("need 4 points")
-        cal = calibrate_from_points(pts, args.marker_width, args.marker_height)
+        # record the PICKED image's true size: the transformer rescales
+        # by original_image_size, so writing the 640×360 default for a
+        # 1280×720 frame would put every BEV mapping off by 2×
+        from PIL import Image as _Image
+
+        with _Image.open(args.image) as _im:
+            picked_size = _im.size
+        cal = calibrate_from_points(
+            pts, args.marker_width, args.marker_height, image_size=picked_size
+        )
         with open(args.out, "w") as f:
             json.dump(cal, f, indent=2)
         print(f"wrote {args.out}")

@@ -62,8 +62,11 @@ def check_masks(images_dir: str, masks_dir: str) -> list[dict]:
             report["issues"].append("empty mask")
         elif report["foreground_ratio"] == 1.0:
             report["issues"].append("all-foreground mask")
+        # values outside the small-class-id range and not the 0/255 binary
+        # convention are label corruption (the old guard compared against
+        # range(256), which uint8 data always satisfies — dead code)
         extra = [v for v in report["unique_values"] if v not in (0, 255) and v > 3]
-        if extra and not set(report["unique_values"]).issubset(set(range(256))):
+        if extra:
             report["issues"].append(f"unexpected values {extra[:5]}")
         reports.append(report)
     return reports

@@ -45,8 +45,12 @@ class MaskCanvas:
 
     def rectangle(self, x0: int, y0: int, x1: int, y1: int, value: int = 255):
         self._checkpoint()
-        x0, x1 = sorted((max(0, x0), min(self.mask.shape[1], x1)))
-        y0, y1 = sorted((max(0, y0), min(self.mask.shape[0], y1)))
+        # sort BEFORE clamping: clamp-then-sort turns a right-to-left drag
+        # into an empty (or negative-start, edge-wrapping) slice
+        x0, x1 = sorted((x0, x1))
+        y0, y1 = sorted((y0, y1))
+        x0, x1 = max(0, x0), min(self.mask.shape[1], x1)
+        y0, y1 = max(0, y0), min(self.mask.shape[0], y1)
         self.mask[y0:y1, x0:x1] = value
 
     def polygon(self, points, value: int = 255):
@@ -127,7 +131,8 @@ def _interactive(image_path: str, mask_path: str):  # pragma: no cover - needs d
     img = cv2.imread(image_path)
     canvas = MaskCanvas(img.shape[0], img.shape[1])
     if os.path.exists(mask_path):
-        canvas.mask = np.asarray(Image.open(mask_path).convert("L"))
+        # np.asarray over PIL is a read-only view; copy so strokes can write
+        canvas.mask = np.array(Image.open(mask_path).convert("L"), np.uint8)
     mode = {"name": "brush", "size": 20, "down": False, "value": 255}
     poly: list = []
 

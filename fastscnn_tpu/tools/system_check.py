@@ -74,7 +74,9 @@ def main(argv=None):
     if args.quick:
         args.epochs = 2
 
-    workdir = args.workdir or tempfile.mkdtemp(prefix="fastscnn_syscheck_")
+    # abspath before chdir: a relative --workdir would otherwise make the
+    # just-built data_root resolve to workdir/workdir/citys
+    workdir = os.path.abspath(args.workdir or tempfile.mkdtemp(prefix="fastscnn_syscheck_"))
     data_root = generate_dataset(os.path.join(workdir, "citys"))
     os.chdir(workdir)
     print(f"[1/6] synthetic 19-class Cityscapes-format dataset at {data_root}")

@@ -95,6 +95,12 @@ class _EpochChunker:
     def __init__(self, loader, num_epochs):
         self._iter = iter(loader)
         self._per_epoch = len(loader) // max(num_epochs, 1)
+        if self._per_epoch == 0 and len(loader):
+            raise ValueError(
+                f"loader yields {len(loader)} total batches for {num_epochs} "
+                "epochs — fewer than one batch per epoch; reduce --epochs or "
+                "--batch-size (silently training on nothing otherwise)"
+            )
 
     def __len__(self):
         return self._per_epoch
@@ -264,12 +270,10 @@ class Trainer:
         import jax
         import jax.numpy as jnp
 
-        from fastscnn_tpu.utils.checkpoint import save_pth_checkpoint, save_train_state
-
         args = self.args
-        best = -1.0
         for epoch in range(args.start_epoch, args.epochs):
             epoch_losses = []
+            metrics = None
             t_epoch = time.time()
             t_data = 0.0
             t_last = time.time()
@@ -291,6 +295,11 @@ class Trainer:
                         f"(data {t_data / (it + 1) * 1e3:.0f} ms/iter)"
                     )
                 t_last = time.time()
+            if metrics is None:
+                raise RuntimeError(
+                    f"epoch {epoch} produced no batches — dataset smaller "
+                    "than one batch with drop_last, or an exhausted loader"
+                )
             epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else float(metrics["loss"])
             sps = self.iters_per_epoch * args.batch_size / (time.time() - t_epoch)
 

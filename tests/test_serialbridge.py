@@ -170,3 +170,30 @@ def test_context_manager_stops_on_exit():
     assert (800, 800) in sent
     assert (0, 0) in sent
     assert sent[-1] == "closed"
+
+
+def test_constant_speed_keepalive_beats_watchdog():
+    """A constant speed must be periodically re-sent: full suppression of
+    identical commands starves the firmware's 500 ms watchdog and stops
+    the car on every straight."""
+    import time as _time
+
+    from fastscnn_tpu.serialbridge import SimpleCarController
+
+    class CountingTransport:
+        def __init__(self):
+            self.writes = []
+
+        def write(self, data):
+            self.writes.append(data)
+
+    t = CountingTransport()
+    ctrl = SimpleCarController(transport=t)
+    ctrl.command_timeout = 0.2  # scaled-down watchdog for the test
+    ctrl.set_wheel_speeds(300, 300)
+    assert len(t.writes) == 1
+    ctrl.set_wheel_speeds(300, 300)  # immediately: suppressed
+    assert len(t.writes) == 1
+    _time.sleep(0.15)  # > timeout/2
+    ctrl.set_wheel_speeds(300, 300)  # keepalive must re-send
+    assert len(t.writes) == 2
