@@ -288,7 +288,16 @@ def get_loss_fn(
     *tuple* into FocalDiceLoss, which would crash on `pred.dim()` —
     a latent reference bug; we use the main head), 'ce' → Mix OHEM CE
     with the trainer's aux_weight (CLI default 0.4) and the Cityscapes
-    class weights when ``num_classes == 19``."""
+    class weights when ``num_classes == 19``.
+
+    ``aux=False`` trains on the MAIN head only even if the model emits an
+    aux output (the mix_* losses blend every extra output otherwise)."""
+    if not aux:
+        main_only = get_loss_fn(
+            name, aux=True, aux_weight=aux_weight, num_classes=num_classes,
+            ignore_label=ignore_label, use_class_weights=use_class_weights,
+        )
+        return lambda outputs, target: main_only(outputs[:1], target)
     if name == "dice":
         return functools.partial(mix_dice_loss, aux_weight=aux_weight)
     if name == "focal_dice":

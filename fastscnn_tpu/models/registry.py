@@ -49,6 +49,12 @@ def get_fast_scnn(
     import jax
 
     if num_classes is None:
+        if dataset not in DATASET_NUM_CLASSES:
+            raise ValueError(
+                f"dataset {dataset!r} has no bundled loader/num_classes "
+                f"(supported: {sorted(DATASET_NUM_CLASSES)}); pass "
+                "num_classes= explicitly to build a model for it"
+            )
         num_classes = DATASET_NUM_CLASSES[dataset]
     model = FastSCNN(num_classes=num_classes, aux=aux)
     if pretrained:

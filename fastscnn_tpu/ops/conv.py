@@ -32,6 +32,22 @@ BN_MOMENTUM = 0.1
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
 
+def f32_precision(dtype):
+    """Precision override for f32 contractions on TPU.
+
+    TPU's DEFAULT matmul/conv precision truncates f32 operands to bf16
+    (measured ~8e-3 divergence vs torch), silently downgrading the
+    --no-fp16 "full f32" path and every deliberate .astype(f32)-for-
+    exactness. HIGHEST restores true f32 products there. Other backends
+    (CPU/GPU f32) are already exact and keep the default — HIGHEST convs
+    lower pathologically slowly on XLA:CPU. bf16 inputs always keep the
+    fast default (the MXU accumulates their products in f32 regardless).
+    """
+    if dtype == jnp.float32 and jax.default_backend() in ("tpu", "axon"):
+        return lax.Precision.HIGHEST
+    return None
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -59,6 +75,7 @@ def conv2d(
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=_DIMS,
         feature_group_count=groups,
+        precision=f32_precision(x.dtype),
     )
     if b is not None:
         y = y + b.astype(y.dtype)

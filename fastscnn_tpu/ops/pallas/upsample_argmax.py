@@ -31,26 +31,23 @@ mask-diff tolerance of reference:compare_pytorch_onnx.py).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fastscnn_tpu.ops.resize import _axis_lerp_coeffs, resize_bilinear
+from fastscnn_tpu.ops.resize import (
+    _interp_matrix as _resize_interp_matrix,
+    resize_bilinear,
+)
 
 __all__ = ["upsample_argmax"]
 
 
-@functools.lru_cache(maxsize=None)
 def _interp_matrix(in_size: int, out_size: int, align_corners: bool, transpose: bool):
-    """Dense (out, in) two-tap interpolation matrix (numpy, f32)."""
-    lo, hi, w = _axis_lerp_coeffs(in_size, out_size, align_corners)
-    m = np.zeros((out_size, in_size), np.float32)
-    idx = np.arange(out_size)
-    np.add.at(m, (idx, lo), 1.0 - w)
-    np.add.at(m, (idx, hi), w)
-    return m.T.copy() if transpose else m
+    """Dense two-tap interpolation matrix — the single shared builder in
+    ops/resize.py, oriented (out, in) here unless ``transpose``."""
+    m = _resize_interp_matrix(in_size, out_size, align_corners).T  # (out, in)
+    return np.ascontiguousarray(m.T) if transpose else np.ascontiguousarray(m)
 
 
 def _pick_tile(total: int, target: int = 16) -> int:
@@ -92,8 +89,6 @@ def upsample_argmax(
     vmem_est = (
         h * c * w * 2 + out_h * h * 2 + w * out_w * 2 + th * c * out_w * 4 + th * c * w * 4
     )
-    import jax
-
     if (
         not use_pallas
         or jax.default_backend() not in ("tpu", "axon")

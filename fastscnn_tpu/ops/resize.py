@@ -117,13 +117,19 @@ def _interp_matrix(in_size: int, out_size: int, align_corners: bool):
 
 
 def _matmul_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
+    from fastscnn_tpu.ops.conv import f32_precision
+
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
     a = jnp.asarray(_interp_matrix(in_size, int(out_size), align_corners), x.dtype)
+    # f32 inputs demand true f32 contraction on TPU — see
+    # ops/conv.py::f32_precision (default precision truncates f32
+    # operands to bf16 there, defeating every .astype(f32)-for-exactness
+    # caller). bf16 inputs keep the fast default.
     # tensordot moves the contracted axis's replacement to the end; put it
     # back (XLA folds the transpose into the dot_general output layout).
-    y = jnp.tensordot(x, a, axes=[[axis], [0]])
+    y = jnp.tensordot(x, a, axes=[[axis], [0]], precision=f32_precision(x.dtype))
     return jnp.moveaxis(y, -1, axis)
 
 

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "P"]
+__all__ = ["make_mesh", "make_mesh_for_batch", "batch_sharding", "replicate_sharding", "P"]
 
 
 def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh:
@@ -29,7 +29,25 @@ def make_mesh(n_data: int | None = None, n_space: int = 1, devices=None) -> Mesh
     if devices is None:
         devices = jax.devices()
     if n_data is None:
+        if len(devices) % n_space:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_space={n_space}"
+            )
         n_data = len(devices) // n_space
+    if n_data * n_space == 0:
+        raise ValueError(f"empty mesh: n_data={n_data}, n_space={n_space}")
+    if n_data * n_space > len(devices):
+        raise ValueError(
+            f"mesh needs {n_data * n_space} devices, only {len(devices)} visible"
+        )
+    if n_data * n_space < len(devices):
+        # explicit subset is fine when the caller passed n_data, but say so
+        import warnings
+
+        warnings.warn(
+            f"mesh uses {n_data * n_space} of {len(devices)} visible devices",
+            stacklevel=2,
+        )
     devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
     return Mesh(devs, ("data", "space"))
 
@@ -48,14 +66,6 @@ def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
 def batch_sharding(mesh: Mesh, spatial_axis: int | None = None) -> NamedSharding:
     """NHWC batch sharded over 'data'; optionally H over 'space'."""
     spec = [None, None, None, None]
-    spec[0] = "data"
-    if spatial_axis is not None and mesh.shape["space"] > 1:
-        spec[spatial_axis] = "space"
-    return NamedSharding(mesh, P(*spec))
-
-
-def label_sharding(mesh: Mesh, spatial_axis: int | None = None) -> NamedSharding:
-    spec = [None, None, None]
     spec[0] = "data"
     if spatial_axis is not None and mesh.shape["space"] > 1:
         spec[spatial_axis] = "space"

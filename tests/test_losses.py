@@ -264,3 +264,26 @@ def test_binary_sigmoid_diff_identity():
     inter = jnp.sum(p * t)
     b = float(1.0 - (2 * inter + 1e-6) / (jnp.sum(p) + jnp.sum(t) + 1e-6))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_get_loss_fn_aux_false_ignores_aux_head(rng):
+    """aux=False must train on the main head only, even when the model
+    emits an aux output (the flag was previously dead)."""
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16, 2)).astype(np.float32))
+    aux_logits = jnp.asarray(rng.standard_normal((2, 16, 16, 2)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, 2, (2, 16, 16)).astype(np.int32))
+
+    with_aux = get_loss_fn("dice", aux=True)((logits, aux_logits), target)
+    without = get_loss_fn("dice", aux=False)((logits, aux_logits), target)
+    main_only = get_loss_fn("dice", aux=True)((logits,), target)
+    assert float(without) == float(main_only)
+    assert float(without) != float(with_aux)
+
+
+def test_registry_unknown_dataset_clear_error():
+    from fastscnn_tpu.models.registry import get_fast_scnn
+
+    with pytest.raises(ValueError, match="num_classes"):
+        get_fast_scnn("pascal_voc")

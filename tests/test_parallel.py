@@ -247,3 +247,10 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     out = fn(*args)
     assert out.shape == (1, 1024, 2048)
+
+
+def test_make_mesh_validates_divisibility():
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(n_space=3)  # 8 virtual devices % 3 != 0
+    with pytest.raises(ValueError, match="empty mesh"):
+        make_mesh(n_data=0, n_space=2)
