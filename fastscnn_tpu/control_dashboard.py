@@ -44,7 +44,11 @@ def parse_args(argv=None):
     parser.add_argument("--camera-height", type=int, default=360)
     # BEV / path
     parser.add_argument("--pixels-per-unit", type=int, default=20)
-    parser.add_argument("--edge-computing", action="store_true", default=True)
+    parser.add_argument("--edge-computing", action="store_true", default=True,
+                        help="fast-mode path planning (row skipping), the "
+                             "realtime default; --no-edge-computing for full")
+    parser.add_argument("--no-edge-computing", dest="edge_computing",
+                        action="store_false")
     # control gains
     parser.add_argument("--steering-gain", type=float, default=50.0)
     parser.add_argument("--base-pwm", type=float, default=300)
@@ -98,6 +102,8 @@ def main(argv=None):
             from PIL import Image
 
             img = np.asarray(Image.open(args.input).convert("RGB"))[:, :, ::-1].copy()
+        if img is None:  # cv2.imread returns None instead of raising
+            raise SystemExit(f"cannot read {args.input}")
         basename = os.path.splitext(os.path.basename(args.input))[0]
         result = inference_single_image(
             img,

@@ -211,7 +211,13 @@ def main(argv=None):
     tol = 0.99 if (args.format == "tflite" and args.int8) else (
         0.995 if quantized else 0.999
     )
-    assert agree > tol, "exported artifact diverges from the engine"
+    if not agree > tol:
+        # hard failure, not assert: python -O would strip an assert and
+        # silently skip the tool's only accuracy gate
+        raise SystemExit(
+            f"exported artifact diverges from the engine: "
+            f"{agree:.4f} pixel agreement <= required {tol}"
+        )
     return path
 
 

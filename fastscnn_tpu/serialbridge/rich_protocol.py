@@ -50,6 +50,11 @@ def frame_command(cmd_type: int, data: bytes = b"") -> bytes:
     return packet
 
 
+# every reference command carries a handful of bytes; anything claiming a
+# longer payload is line noise misread as a header (see parse_frames)
+MAX_PAYLOAD = 32
+
+
 def parse_frames(buffer: bytearray):
     """Consume complete frames from ``buffer``; yields (cmd, payload).
     Invalid frames (bad checksum/tail) are skipped with resync."""
@@ -61,6 +66,12 @@ def parse_frames(buffer: bytearray):
         if len(buffer) < 5:
             return frames
         length = buffer[2]
+        if length > MAX_PAYLOAD:
+            # a noise byte that happened to equal the header, followed by
+            # a garbage "length": waiting for the phantom bytes would
+            # stall real frames already behind it — resync instead
+            buffer.pop(0)
+            continue
         total = 5 + length
         if len(buffer) < total:
             return frames

@@ -45,7 +45,11 @@ def save_pth_checkpoint(params, state, directory, dataset="citys", is_best=False
         np.savez(filename + ".npz", **sd)
         filename = filename + ".npz"
     if is_best:
-        best = os.path.join(directory, f"fast_scnn_{dataset}_best_model.pth")
+        # keep the REAL suffix: in torch-free envs the save fell back to
+        # .pth.npz, and load_pth_checkpoint routes on endswith('.npz') -
+        # a best copy named .pth would be unloadable
+        suffix = ".pth.npz" if filename.endswith(".npz") else ".pth"
+        best = os.path.join(directory, f"fast_scnn_{dataset}_best_model{suffix}")
         shutil.copyfile(filename, best)
     return filename
 
@@ -84,7 +88,9 @@ def save_train_state(train_state, path, extra: dict | None = None):
     if extra:
         meta.update({f"extra_{k}": v for k, v in extra.items()})
     np.savez(path, __meta__=np.asarray([repr(meta)], dtype=object), **arrays)
-    return path
+    # np.savez appends .npz when the suffix is missing - return the path
+    # that actually exists
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def load_train_state(path, template_state):

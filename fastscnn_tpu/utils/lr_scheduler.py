@@ -45,8 +45,12 @@ def lr_schedule(
     if mode == "step" and step_iter is None and step_epoch is None:
         raise ValueError("step mode requires step_iter or step_epoch")
 
-    n = max(niters - 1, 1)
     steps = tuple(step_iter) if step_iter is not None else None
+    if mode == "step" and steps and niters <= max(steps):
+        # without niters (or with thresholds beyond it) the clip below
+        # would freeze the counter before any decay step ever fires
+        niters = max(steps) + 1
+    n = max(niters - 1, 1)
 
     def schedule(num_update):
         t = jnp.clip(num_update - offset, 0, n).astype(jnp.float32)

@@ -85,7 +85,10 @@ class TrainingMonitor:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        out_path = out_path or self.log_path.replace(".json", "_curves.png")
+        # splitext, not .replace(".json", ...): with a non-.json log path
+        # the replace is a no-op and savefig would overwrite the LOG with
+        # PNG bytes
+        out_path = out_path or os.path.splitext(self.log_path)[0] + "_curves.png"
         epochs = [r["epoch"] for r in self.records]
         fig, axes = plt.subplots(2, 2, figsize=(12, 8))
         axes[0, 0].plot(epochs, [r["train_loss"] for r in self.records])

@@ -82,3 +82,12 @@ def test_training_monitor_fresh_vs_resume(tmp_path):
     assert m2.records == [] and m2.best["epoch"] == -1
     m3 = TrainingMonitor(log, resume=True)
     assert len(m3.records) == 1
+
+
+def test_step_schedule_fires_without_niters():
+    """step mode with thresholds but no niters must still decay (the
+    iteration clip used to freeze the counter at 1)."""
+    sched = lr_schedule("step", base_lr=0.1, step_iter=[1000, 2000])
+    assert abs(float(sched(0)) - 0.1) < 1e-7
+    assert abs(float(sched(1500)) - 0.01) < 1e-7
+    assert abs(float(sched(2500)) - 0.001) < 1e-7

@@ -91,3 +91,14 @@ def test_context_manager():
         car.set_speed(0.7)
         assert sim.wheels == [700] * 4
     assert sim.stopped
+
+
+def test_parse_frames_resyncs_past_noise_header():
+    """A noise byte matching the header followed by a garbage length must
+    not stall valid frames already in the buffer."""
+    from fastscnn_tpu.serialbridge.rich_protocol import PROTOCOL_HEADER
+
+    good = frame_command(0x01, bytes([5, 6]))
+    buf = bytearray(bytes([PROTOCOL_HEADER, 0x01, 0xF0]) + good)
+    frames = parse_frames(buf)
+    assert frames and frames[0][0] == 0x01 and list(frames[0][1]) == [5, 6]
