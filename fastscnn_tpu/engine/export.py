@@ -38,6 +38,7 @@ __all__ = [
     "ExportedModel",
     "export_tflite",
     "export_savedmodel",
+    "export_onnx",
     "TFLiteModel",
 ]
 
@@ -214,6 +215,48 @@ def export_savedmodel(fn, example_args, path: str, metadata: dict | None = None)
     tf.saved_model.save(module, path)
     if metadata:
         with open(os.path.join(path, "fastscnn_metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2)
+    return path
+
+
+def export_onnx(fn, example_args, path: str, metadata: dict | None = None,
+                opset: int = 11) -> str:
+    """Emit an ONNX artifact (reference:export_onnx_fixed.py:308-318 emits
+    opset-11 ONNX via ``torch.onnx.export``; the JAX-native route is
+    jax2tf → tf2onnx).
+
+    ``onnx``/``tf2onnx`` are not part of this framework's base
+    dependencies (the TPU serving path is StableHLO, and the edge path is
+    TFLite — the ATC/OM analogue). This codepath is for environments that
+    need ONNX interchange and have those packages installed; elsewhere it
+    raises a clear error instead of half-working.
+    """
+    try:
+        import tf2onnx  # noqa: F401
+        import onnx  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "ONNX export requires the 'onnx' and 'tf2onnx' packages "
+            "(pip install onnx tf2onnx). For TPU serving use "
+            "--format stablehlo; for edge devices use --format tflite "
+            f"(missing: {e.name})"
+        ) from e
+    import tensorflow as tf
+    import tf2onnx
+    from jax.experimental import jax2tf
+
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=_tf_specs(example_args),
+        autograph=False,
+    )
+    model_proto, _ = tf2onnx.convert.from_function(
+        tf_fn, input_signature=_tf_specs(example_args), opset=opset
+    )
+    with open(path, "wb") as f:
+        f.write(model_proto.SerializeToString())
+    if metadata:
+        with open(path + ".json", "w") as f:
             json.dump(metadata, f, indent=2)
     return path
 

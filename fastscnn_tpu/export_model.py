@@ -47,10 +47,12 @@ def parse_args(argv=None):
                              "(pyramid grids 1/2/4/8, align_corners=False PPM) "
                              "instead of the faithful training architecture")
     parser.add_argument("--format", type=str, default="stablehlo",
-                        choices=["stablehlo", "tflite", "savedmodel"],
+                        choices=["stablehlo", "tflite", "savedmodel", "onnx"],
                         help="stablehlo: XLA-ecosystem artifact (TPU/GPU/CPU via "
                              "PJRT); tflite: LiteRT flatbuffer for edge devices "
-                             "(the Atlas-200 analogue); savedmodel: TF-Serving")
+                             "(the Atlas-200 analogue); savedmodel: TF-Serving; "
+                             "onnx: interchange graph (needs onnx+tf2onnx "
+                             "installed; reference:export_onnx_fixed.py:308-318)")
     parser.add_argument("--fp16", action="store_true", default=False,
                         help="tflite only: post-training float16 weight "
                              "quantization (the reference's ATC deploy precision)")
@@ -110,9 +112,10 @@ def main(argv=None):
     if args.calib_images and not args.int8:
         raise SystemExit("--calib-images only applies with --int8")
     if args.output is None:
-        ext = {"stablehlo": ".stablehlo", "tflite": ".tflite", "savedmodel": ""}[args.format]
+        ext = {"stablehlo": ".stablehlo", "tflite": ".tflite", "savedmodel": "",
+               "onnx": ".onnx"}[args.format]
         args.output = f"exports/fast_scnn_e2e{ext or '_savedmodel'}"
-    if args.format in ("tflite", "savedmodel") and args.dtype == "bfloat16":
+    if args.format in ("tflite", "savedmodel", "onnx") and args.dtype == "bfloat16":
         # Edge/serving runtimes execute f32 (optionally f16-quantized);
         # bf16 is a TPU-side compute dtype, not a TFLite one.
         print(f"note: {args.format} export computes in float32 (was {args.dtype})")
@@ -178,6 +181,24 @@ def main(argv=None):
             quantize=quantize, representative_data=rep,
         )
         loaded = TFLiteModel(path)
+    elif args.format == "onnx":
+        from fastscnn_tpu.engine.export import export_onnx
+
+        try:
+            path = export_onnx(fn, specs, args.output, metadata=metadata)
+        except RuntimeError as e:
+            raise SystemExit(str(e))
+        try:
+            import onnxruntime as ort
+
+            sess = ort.InferenceSession(path)
+            iname = sess.get_inputs()[0].name
+            loaded = lambda x: sess.run(None, {iname: np.asarray(x)})[0]
+        except ImportError:
+            print("onnxruntime not installed: skipping artifact smoke test")
+            size = os.path.getsize(path)
+            print(f"exported {path} ({size} bytes, format onnx)")
+            return path
     else:
         from fastscnn_tpu.engine.export import export_savedmodel
 

@@ -139,3 +139,29 @@ def test_export_cli_tflite(tmp_path, monkeypatch):
     )
     assert path.endswith(".tflite") and os.path.exists(path)
     assert os.path.exists(path + ".json")
+
+
+def test_export_onnx_guarded_when_packages_missing(tmp_path):
+    """--format onnx is a documented interchange path needing onnx+tf2onnx
+    (reference:export_onnx_fixed.py:308-318); without them it must fail
+    with an actionable error, not a bare ImportError mid-export."""
+    import importlib.util
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fastscnn_tpu.engine.export import export_onnx
+
+    available = (
+        importlib.util.find_spec("onnx") is not None
+        and importlib.util.find_spec("tf2onnx") is not None
+    )
+    fn = lambda x: x.astype("float32") * 2.0
+    args = [np.zeros((1, 8, 8, 3), np.uint8)]
+    path = str(tmp_path / "m.onnx")
+    if not available:
+        with _pytest.raises(RuntimeError, match="onnx"):
+            export_onnx(fn, args, path)
+    else:  # onnx-capable environment: the artifact must round-trip
+        out = export_onnx(fn, args, path, metadata={"k": 1})
+        assert os.path.getsize(out) > 0
