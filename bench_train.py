@@ -33,17 +33,24 @@ def main():
     crop = int(os.environ.get("BENCH_TRAIN_CROP", "480"))
     batches = [int(b) for b in os.environ.get("BENCH_TRAIN_BATCHES", "8,64,128").split(",")]
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", "20"))
+    # The real Cityscapes recipe is 19-class OHEM-CE at 768² bs16
+    # (reference:train.py defaults): BENCH_TRAIN_CLASSES=19
+    # BENCH_TRAIN_LOSS=ce BENCH_TRAIN_CROP=768 BENCH_TRAIN_BATCHES=16.
+    num_classes = int(os.environ.get("BENCH_TRAIN_CLASSES", "2"))
+    loss_name = os.environ.get("BENCH_TRAIN_LOSS", "dice")
 
-    model = FastSCNN(num_classes=2, aux=True)
+    model = FastSCNN(num_classes=num_classes, aux=True)
     schedule = lr_schedule("poly", base_lr=1e-2, niters=10000, power=0.9)
     optimizer = make_optimizer("sgd", schedule)
-    loss_fn = get_loss_fn("dice", aux=True, num_classes=2)
+    loss_fn = get_loss_fn(loss_name, aux=True, num_classes=num_classes)
 
     best_sps, best_batch = 0.0, 0
     rng = np.random.default_rng(0)
     for batch in batches:
         images = jnp.asarray(rng.integers(0, 256, (batch, crop, crop, 3), dtype=np.uint8))
-        targets = jnp.asarray(rng.integers(0, 2, (batch, crop, crop)).astype(np.int32))
+        targets = jnp.asarray(
+            rng.integers(-1, num_classes, (batch, crop, crop)).astype(np.int32)
+        )
         state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
 
         def one_step(state, key):
@@ -99,7 +106,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"train_step_throughput_{crop}x{crop}_dice_aux_bf16",
+                "metric": (
+                    f"train_step_throughput_{crop}x{crop}_{loss_name}_aux_bf16"
+                    if num_classes == 2
+                    else f"train_step_throughput_{crop}x{crop}_{loss_name}{num_classes}_aux_bf16"
+                ),
                 "value": round(best_sps, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(best_sps / 232.9, 2),

@@ -236,8 +236,18 @@ def ohem_cross_entropy_loss(
     logits = _match_resolution(logits, target)
     lf = logits.astype(jnp.float32)
     valid = target != ignore_label
-    prob = jax.nn.softmax(lf, axis=-1)
-    true_prob = _select_class(prob, target)
+
+    # One fused per-pixel CE map drives BOTH the mining and the loss:
+    # ce = lse(l) − l_t, true-class prob = exp(−ce). The earlier
+    # formulation materialized softmax (mining) AND log_softmax (loss) as
+    # separate full-resolution C-channel f32 tensors — at the Cityscapes
+    # recipe (768² bs16 C=19) that is 2 × 716 MB of HBM traffic per head
+    # plus their backward; here the C-channel reductions fuse into the
+    # upsample output and only (N,H,W) f32 maps are materialized.
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    logit_t = _select_class(lf, target)
+    ce_pix = lse - logit_t  # ≥ 0 up to rounding
+    true_prob = jnp.exp(-ce_pix)
 
     flat = jnp.where(valid, true_prob, jnp.inf).reshape(-1)
     k = min(int(min_kept), flat.shape[0])
@@ -249,10 +259,21 @@ def ohem_cross_entropy_loss(
         threshold = jnp.maximum(kth, thresh)
     else:
         threshold = jnp.asarray(thresh, jnp.float32)
-    kept = valid & (true_prob <= threshold)
+    kept = (valid & (true_prob <= threshold)).astype(jnp.float32)
 
-    masked_target = jnp.where(kept, target, ignore_label)
-    return cross_entropy_loss(logits, masked_target, ignore_label, class_weights)
+    # Weighted-mean reduction over the kept set, exactly
+    # torch.nn.CrossEntropyLoss(weight, ignore_index) semantics
+    # (denominator = sum of kept-pixel class weights).
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        tc = jnp.clip(target, 0, logits.shape[-1] - 1)
+        pw = jnp.sum(jax.nn.one_hot(tc, logits.shape[-1], dtype=jnp.float32) * w, axis=-1)
+        num = jnp.sum(ce_pix * pw * kept)
+        den = jnp.sum(pw * kept)
+    else:
+        num = jnp.sum(ce_pix * kept)
+        den = jnp.sum(kept)
+    return num / jnp.maximum(den, 1e-12)
 
 
 def mix_ohem_cross_entropy_loss(

@@ -59,7 +59,13 @@ def lr_schedule(
         elif mode == "linear":
             factor = 1.0 - t / n
         elif mode == "poly":
-            factor = (1.0 - t / n) ** power
+            # NOT `(1 - t/n) ** power`: under jit XLA lowers the traced
+            # f32 `**` as exp(power·log(base)) and returns NaN at
+            # base == 0 (eager numpy returns 0.0) — which lands on the
+            # LAST optimizer step of every full poly run, 0·NaN-ing the
+            # final checkpoint. Guard the endpoint explicitly.
+            base = 1.0 - t / n
+            factor = jnp.where(base > 0.0, jnp.power(jnp.maximum(base, 1e-30), power), 0.0)
         elif mode == "cosine":
             factor = (1.0 + jnp.cos(math.pi * t / n)) / 2.0
         else:  # step

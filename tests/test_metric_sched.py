@@ -91,3 +91,30 @@ def test_step_schedule_fires_without_niters():
     assert abs(float(sched(0)) - 0.1) < 1e-7
     assert abs(float(sched(1500)) - 0.01) < 1e-7
     assert abs(float(sched(2500)) - 0.001) < 1e-7
+
+
+def test_poly_schedule_endpoint_is_zero_under_jit():
+    """Regression: `(1-t/n)**0.9` with a traced f32 base lowers to
+    exp(p·log(0)) = NaN at the endpoint under jit (eager numpy gives 0),
+    which 0·NaN-corrupted the FINAL optimizer step of every full poly
+    training run. Caught by the trainer-driven parity harness
+    (tests/test_training_parity.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.utils.lr_scheduler import lr_schedule
+
+    for mode in ("poly", "linear", "cosine"):
+        s = lr_schedule(mode, base_lr=0.01, nepochs=3, iters_per_epoch=6, power=0.9)
+        last = float(jax.jit(s)(jnp.int32(17)))
+        beyond = float(jax.jit(s)(jnp.int32(99)))
+        # poly's endpoint guard returns exactly 0; linear/cosine may carry
+        # ~1e-11 of f32 reciprocal rounding — finite and negligible is the
+        # contract (NaN is the regression).
+        assert np.isfinite(last) and abs(last) < 1e-9, (mode, last)
+        assert np.isfinite(beyond) and abs(beyond) < 1e-9, (mode, beyond)
+        if mode == "poly":
+            assert last == 0.0 and beyond == 0.0
+        # and the step before the endpoint is still positive and finite
+        prev = float(jax.jit(s)(jnp.int32(16)))
+        assert np.isfinite(prev) and prev > 0.0
