@@ -59,12 +59,15 @@ class E2EConfig:
     'matmul' (default; interp-matrix MXU contractions, the fast path on
     TPU), 'gather' (two-tap lerp gathers, minimal-FLOP reference path),
     'pallas' (mask path only: fused upsample+argmax kernel, zero
-    full-res logits in HBM; softmax/logits fall back to 'matmul'), or
-    'argmax-first' (mask path only, OPT-IN SEMANTIC CHANGE: argmax at
+    full-res logits in HBM; softmax/logits fall back to 'matmul'),
+    'hybrid' (mask path only: W-upsample on the MXU + a Pallas
+    H-lerp/argmax kernel that replaces XLA's 188 GB/s iota-reduce
+    fusion — see ops/pallas/upsample_argmax.py::w_matmul_h_lerp_argmax),
+    or 'argmax-first' (mask path only, OPT-IN SEMANTIC CHANGE: argmax at
     the classifier's 1/8 resolution, nearest-expanded — mask boundaries
     quantize to the 8-px grid, trading boundary fidelity for speed).
-    The first three share identical bilinear weights; see ops/resize.py
-    and ops/pallas/upsample_argmax.py.
+    All but 'argmax-first' share identical bilinear weights; see
+    ops/resize.py and ops/pallas/upsample_argmax.py.
     """
 
     internal_size: tuple[int, int] | None = None
@@ -72,7 +75,10 @@ class E2EConfig:
     std: tuple[float, ...] | None = None
     softmax: bool = False
     compute_dtype: str = "bfloat16"
-    final_upsample: str = "matmul"
+    # 'hybrid' is the measured default (1,564 vs 1,505 fps at batch 128 on
+    # v5e — docs/PERFORMANCE.md); its non-mask paths (softmax/logits) use
+    # the same matmul formulation as 'matmul'.
+    final_upsample: str = "hybrid"
 
 
 class InferenceEngine:
@@ -172,6 +178,15 @@ class InferenceEngine:
             return upsample_argmax(
                 logits, self._net_in_size(images.shape),
                 align_corners=True, use_pallas=True,
+            )
+        if self.config.final_upsample == "hybrid":
+            from fastscnn_tpu.ops.pallas.upsample_argmax import (
+                w_matmul_h_lerp_argmax,
+            )
+
+            logits = self._forward(images, upsample=False)
+            return w_matmul_h_lerp_argmax(
+                logits, self._net_in_size(images.shape), align_corners=True
             )
         if self.config.final_upsample == "argmax-first":
             logits = self._forward(images, upsample=False)

@@ -132,3 +132,126 @@ def upsample_argmax(
         out_specs=pl.BlockSpec((1, th, out_w), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
     )(x, a_h, a_w)
+
+
+def w_matmul_h_lerp_argmax(
+    logits: jnp.ndarray,
+    out_size: tuple[int, int],
+    align_corners: bool = True,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Hybrid mask path: W-upsample on the MXU, H-upsample + argmax in a
+    blocked Pallas kernel.
+
+    Why this split (measured, batch-128 serving trace 2026-08-17): XLA's
+    best graph W-upsamples via interp-matmul at ~670 GB/s, then fuses the
+    H-interp with the argmax into one variadic-reduce fusion
+    (`iota_reduce_fusion`) that runs at only 188 GB/s AND writes a dead
+    bf16 max tensor next to the s32 mask — 15.4 ms of an 83.5 ms
+    batch-128 iteration. This kernel replaces that fusion: each (image,
+    W-block) keeps its (h, C, W_blk) strip VMEM-resident across all its
+    output rows; per TH-row output block it dynamic-slices the ≤32-row
+    source window the banded two-tap H matrix actually touches and runs
+    one (TH, 32) @ (32, C·W_blk) MXU matmul, then argmaxes in VMEM and
+    writes only the (N, H, W) int32 mask.
+
+    A first formulation using a per-row fori_loop + dynamic slices
+    measured 1,115 fps vs 1,503 fps for plain XLA (per-row granularity
+    dominates); this blocked version replaces it.
+
+    Sampling weights identical to the 'matmul' path (same
+    `_interp_matrix`); interpolation accumulates in f32 on the MXU and
+    argmaxes the f32 result (the 'matmul' path rounds its H pass to bf16
+    before argmax, so near-tie pixels can differ — ~0.3% on random
+    logits; boundary pixels only on real ones).
+    """
+    n, h, w, c = logits.shape
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    if use_pallas is None:
+        use_pallas = True
+
+    # W-upsample (MXU, input dtype, same matrix/precision discipline as
+    # resize_bilinear_matmul) — laid out (N, h, C, W) so W stays minor.
+    from fastscnn_tpu.ops.conv import f32_precision
+    from fastscnn_tpu.ops.resize import _interp_matrix as _im
+
+    dt = logits.dtype
+    xw = jnp.tensordot(
+        logits,
+        jnp.asarray(_im(w, out_w, align_corners), dt),
+        axes=[[2], [0]],
+        precision=f32_precision(dt),
+    )  # (N, h, C, W_out)
+
+    th = 128 if out_h % 128 == 0 else _pick_tile(out_h, 64)
+    win, walign = 32, 16
+    # Output rows [th·k, th·k+th) read source rows [lo, lo+span) with
+    # lo = ⌊th·k·(h−1)/(H−1)⌋; a win-row window floor-aligned to walign
+    # always covers them when span + walign − 1 ≤ win.
+    scale = (h - 1) / (out_h - 1) if (align_corners and out_h > 1) else h / out_h
+    span = int(np.ceil(th * scale)) + 2
+    # W block: the f32 (th, C·wblk) product must fit VMEM comfortably.
+    esize = jnp.dtype(dt).itemsize
+    wblk, nj = out_w, 1
+    while th * c * wblk * 4 > 5 * 2**20 and wblk % 2 == 0:
+        wblk //= 2
+        nj *= 2
+    ok = (
+        use_pallas
+        and jax.default_backend() in ("tpu", "axon")
+        and out_h % th == 0
+        and span + walign - 1 <= win <= h
+        and th * c * wblk * 4 <= 5 * 2**20
+        and h * c * wblk * esize <= 4 * 2**20
+        and (h, w) != (out_h, out_w)
+    )
+    if not ok:
+        y = _matmul_h(xw, out_h, align_corners)
+        return jnp.argmax(y, axis=2).astype(jnp.int32)
+
+    from jax.experimental import pallas as pl
+
+    hm = out_h - 1 if align_corners else out_h
+    hn = h - 1 if align_corners else h
+    a_mat = jnp.asarray(np.ascontiguousarray(_im(h, out_h, align_corners).T), dt)
+
+    def kernel(a_ref, x_ref, out_ref):
+        k = pl.program_id(2)
+        s = (k * th) * hn // hm
+        s = jnp.minimum((s // walign) * walign, h - win)
+        a_blk = a_ref[:, pl.ds(s, win)]                       # (th, win)
+        win_m = x_ref[0, pl.ds(s, win)].reshape(win, c * wblk)
+        z = jnp.dot(a_blk, win_m, preferred_element_type=jnp.float32)
+        z = z.reshape(th, c, wblk)
+        best = z[:, 0, :]
+        idx = jnp.zeros((th, wblk), jnp.int32)
+        for cls in range(1, c):
+            cur = z[:, cls, :]
+            upd = cur > best
+            best = jnp.where(upd, cur, best)
+            idx = jnp.where(upd, cls, idx)
+        out_ref[0] = idx
+
+    grid = (n, nj, out_h // th)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((th, h), lambda i, j, k: (k, 0)),
+            # the whole (h, C, wblk) strip; constant over k so Pallas
+            # fetches it once per (image, W block)
+            pl.BlockSpec((1, h, c, wblk), lambda i, j, k: (i, 0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wblk), lambda i, j, k: (i, k, j)),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
+    )(a_mat, xw)
+
+
+def _matmul_h(xw: jnp.ndarray, out_h: int, align_corners: bool):
+    """H-upsample of an (N, h, C, W) strip via interp-matmul (fallback)."""
+    from fastscnn_tpu.ops.conv import f32_precision
+    from fastscnn_tpu.ops.resize import _interp_matrix as _im
+
+    a = jnp.asarray(_im(xw.shape[1], out_h, align_corners), xw.dtype)
+    y = jnp.tensordot(xw, a, axes=[[1], [0]], precision=f32_precision(xw.dtype))
+    return jnp.moveaxis(y, -1, 1)  # (N, H, C, W)

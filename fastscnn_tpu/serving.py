@@ -216,9 +216,17 @@ class BatchingPredictor:
             }
         if sizes:
             out["mean_batch_size"] = statistics.mean(sizes)
+            # batch-fill histogram: how well concurrency actually fills
+            # batches (the whole point of the micro-batcher)
+            hist: dict[int, int] = {}
+            for s in sizes:
+                hist[s] = hist.get(s, 0) + 1
+            out["batch_size_hist"] = {str(k): hist[k] for k in sorted(hist)}
         if lats:
+            srt = sorted(lats)
             out["latency_ms_p50"] = statistics.median(lats)
-            out["latency_ms_p95"] = sorted(lats)[int(0.95 * (len(lats) - 1))]
+            out["latency_ms_p95"] = srt[int(0.95 * (len(srt) - 1))]
+            out["latency_ms_p99"] = srt[int(0.99 * (len(srt) - 1))]
         return out
 
     def stop(self):
@@ -347,8 +355,8 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--dtype", type=str, default="bfloat16")
-    parser.add_argument("--final-upsample", type=str, default="matmul",
-                        choices=["matmul", "gather", "pallas", "argmax-first"],
+    parser.add_argument("--final-upsample", type=str, default="hybrid",
+                        choices=["hybrid", "matmul", "gather", "pallas", "argmax-first"],
                         help="mask upsample formulation (engine.E2EConfig); "
                         "'argmax-first' is the opt-in fast mode (+22% fps, "
                         "mask boundaries quantize to the 8-px grid)")

@@ -349,22 +349,24 @@ def test_reference_trainer_end_to_end_parity(tmp_path, monkeypatch):
     # torchvision is not installed in this environment; the reference
     # imports it only to build the dataset-side transforms
     # (reference:train.py:104-107), which never execute here because the
-    # dataset registry is monkeypatched below. Stub just enough to import.
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
+    # dataset registry is monkeypatched below. Stub just enough to import —
+    # augmenting any bare stub another test module installed first
+    # (tests/test_data.py registers an attribute-less one).
+    class _UnusedTransform:
+        def __init__(self, *a, **k):
+            pass
 
-        class _UnusedTransform:
-            def __init__(self, *a, **k):
-                pass
+        def __call__(self, x):
+            raise RuntimeError("stub transform must never run")
 
-            def __call__(self, x):
-                raise RuntimeError("stub transform must never run")
-
-        tr.Compose = tr.ToTensor = tr.Normalize = _UnusedTransform
-        tv.transforms = tr
-        monkeypatch.setitem(sys.modules, "torchvision", tv)
-        monkeypatch.setitem(sys.modules, "torchvision.transforms", tr)
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tr = getattr(tv, "transforms", None) or types.ModuleType("torchvision.transforms")
+    for name in ("Compose", "ToTensor", "Normalize"):
+        if not hasattr(tr, name):
+            setattr(tr, name, _UnusedTransform)
+    tv.transforms = tr
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tr)
 
     train_mod = _ref_import("train")
 
