@@ -79,6 +79,11 @@ class E2EConfig:
     # v5e — docs/PERFORMANCE.md); its non-mask paths (softmax/logits) use
     # the same matmul formulation as 'matmul'.
     final_upsample: str = "hybrid"
+    # dtype of the returned argmax mask. 'uint8' is lossless for every
+    # supported dataset (num_classes ≤ 255) and quarters the device→host
+    # transfer (1 byte/px vs 4) — serving uses it; 'int32' stays the
+    # default for the library contract.
+    mask_dtype: str = "int32"
 
 
 class InferenceEngine:
@@ -208,7 +213,7 @@ class InferenceEngine:
             mask = self._mask_at_net_res(images)
             if mask.shape[1:3] != tuple(out_size):
                 mask = resize_nearest(mask, out_size, h_axis=1, w_axis=2)
-            return mask
+            return mask.astype(cfg.mask_dtype)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -4,16 +4,20 @@ The reference serves frames one at a time inside its dashboard loops;
 TPUs want batched, fixed-shape work. This server fronts an
 ``InferenceEngine`` (or any ``predict(batch) -> masks`` callable) with a
 micro-batching queue: concurrent requests are grouped up to
-``max_batch`` or ``max_delay_ms`` (whichever first), padded to the fixed
-batch so ONE compiled executable serves every shape, and answered
-per-request. Dispatch and device→host gather run in separate threads
-(JAX dispatch is async), so batch i+1 computes on the TPU while batch i
-is distributed to its callers; ``--data-parallel N`` shards each batch
+``max_batch`` or ``max_delay_ms`` (whichever first — and for free while
+the device pipeline is full), padded to the smallest power-of-two
+*bucket* (one compiled executable per bucket, so a lone request doesn't
+pay a full max_batch of device work), and answered per-request.
+Dispatch and device→host gather run in separate threads (JAX dispatch
+is async), so batch i+1 computes on the TPU while batch i is
+distributed to its callers; ``--data-parallel N`` shards each batch
 across N chips over a 'data' mesh axis.
 
 Routes (stdlib HTTP, threads):
   POST /predict        image bytes (PNG/JPEG) → PNG palette mask
-                       (or JSON mask with Accept: application/json)
+                       (JSON mask with Accept: application/json, or raw
+                       mask bytes + X-Mask-Shape/X-Mask-Dtype headers
+                       with Accept: application/octet-stream)
   GET  /healthz        liveness
   GET  /stats          request/batch/latency statistics
 
@@ -68,10 +72,27 @@ class BatchingPredictor:
         max_delay_ms: float = 5.0,
         queue_size: int = 256,
         pipeline_depth: int = 2,
+        bucket_sizes: tuple[int, ...] | None = None,
     ):
+        """``bucket_sizes``: optional ascending padded-batch sizes (must end
+        at ``max_batch``). A batch of n requests is padded to the smallest
+        bucket ≥ n instead of always to ``max_batch`` — a fill-1 batch on a
+        batch-16 executable wastes 15/16 of the device FLOPs (and, on
+        remote-attached TPUs, 16× the host→device bytes). One executable
+        compiles per bucket; ``predict_batch`` must accept every bucket
+        shape (a shape-cached jit does). Default: (max_batch,) — the
+        single-executable behavior."""
         self.predict_batch = predict_batch
         self.input_size = input_size
         self.max_batch = max_batch
+        if bucket_sizes is None:
+            bucket_sizes = (max_batch,)
+        bucket_sizes = tuple(sorted(set(int(b) for b in bucket_sizes)))
+        if not bucket_sizes or bucket_sizes[-1] != max_batch or bucket_sizes[0] < 1:
+            raise ValueError(
+                f"bucket_sizes must be ≥1 and end at max_batch={max_batch}: {bucket_sizes}"
+            )
+        self.bucket_sizes = bucket_sizes
         self.max_delay = max_delay_ms / 1e3
         self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
         self._inflight: queue.Queue = queue.Queue(maxsize=max(1, pipeline_depth))
@@ -128,14 +149,21 @@ class BatchingPredictor:
             batch = [first]
             deadline = time.perf_counter() + self.max_delay
             while len(batch) < self.max_batch:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
+                now = time.perf_counter()
+                if now >= deadline and not self._inflight.full():
                     break
+                # Past the deadline with a FULL pipeline: dispatch would
+                # block on _inflight.put anyway, so keep filling — it
+                # raises batch fill under sustained load at zero added
+                # latency (poll in short slices so a freed slot is seen).
+                timeout = (deadline - now) if now < deadline else 0.005
                 try:
-                    batch.append(self.queue.get(timeout=remaining))
+                    batch.append(self.queue.get(timeout=max(timeout, 1e-4)))
                 except queue.Empty:
-                    break
-            images = np.zeros((self.max_batch, h, w, 3), np.uint8)
+                    continue
+            # pad to the smallest bucket that holds the batch (see __init__)
+            size = next(b for b in self.bucket_sizes if b >= len(batch))
+            images = np.zeros((size, h, w, 3), np.uint8)
             kept = []
             for req in batch:
                 # predict() validates shape, but a caller bypassing it must
@@ -243,6 +271,16 @@ class BatchingPredictor:
             req.event.set()
 
 
+class _Server(ThreadingHTTPServer):
+    # A concurrent client burst larger than socketserver's default listen
+    # backlog (5) gets TCP resets before accept() ever runs — observed as
+    # ECONNRESET on 42/64 simultaneous connects. Size the backlog to the
+    # predictor queue so admission control happens in predict(), not in
+    # the kernel.
+    request_queue_size = 256
+    daemon_threads = True
+
+
 class ServingServer:
     def __init__(self, predictor: BatchingPredictor, palette_dataset="citys",
                  host="0.0.0.0", port=8500):
@@ -308,7 +346,21 @@ class ServingServer:
                         json.dumps({"error": str(e)}).encode(), "application/json", code
                     )
                     return
-                if "application/json" in (self.headers.get("Accept") or ""):
+                accept = self.headers.get("Accept") or ""
+                if "application/octet-stream" in accept:
+                    # raw row-major mask bytes — the cheap machine-to-machine
+                    # path (JSON-encoding a 2M-pixel mask costs seconds of
+                    # host CPU; this is a memcpy)
+                    mask = np.ascontiguousarray(mask)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("X-Mask-Shape", "x".join(map(str, mask.shape)))
+                    self.send_header("X-Mask-Dtype", str(mask.dtype))
+                    data = mask.tobytes()
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif "application/json" in accept:
                     self._send(
                         json.dumps({"mask": mask.tolist()}).encode(), "application/json"
                     )
@@ -324,7 +376,7 @@ class ServingServer:
         return Handler
 
     def start(self):
-        self.httpd = ThreadingHTTPServer((self.host, self.port), self._handler())
+        self.httpd = _Server((self.host, self.port), self._handler())
         self.port = self.httpd.server_address[1]
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
@@ -392,16 +444,42 @@ def main(argv=None):
     engine = InferenceEngine(
         model, params, state,
         config=E2EConfig(mean=mean, std=std, compute_dtype=args.dtype,
-                         final_upsample=args.final_upsample),
+                         final_upsample=args.final_upsample,
+                         # lossless for num_classes ≤ 255; quarters the
+                         # device→host mask transfer per request
+                         mask_dtype="uint8"),
         mesh=mesh,
     )
-    fn = engine.predict_fn((args.max_batch, args.height, args.width, 3))
+    # Power-of-two padded-batch buckets: a fill-n batch pads to the next
+    # bucket instead of always to max_batch (one executable per bucket).
+    # --data-parallel keeps the single full bucket (shardings need the
+    # divisibility).
+    if args.data_parallel > 1:
+        buckets = [args.max_batch]
+    else:
+        buckets, b = [], 1
+        while b < args.max_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(args.max_batch)
+    # Pay XLA compilation for EVERY bucket BEFORE accepting traffic: a cold
+    # compile takes minutes and would otherwise burn the first clients'
+    # predict timeout (observed as 503s on first contact).
+    for b in buckets:
+        print(f"warming up batch={b} (compile)...", flush=True)
+        t0 = time.perf_counter()
+        fn_b = engine.predict_fn((b, args.height, args.width, 3))
+        _ = np.asarray(fn_b(np.zeros((b, args.height, args.width, 3), np.uint8)))
+        print(f"  warm in {time.perf_counter() - t0:.1f}s", flush=True)
     predictor = BatchingPredictor(
-        lambda batch: fn(batch),
+        # predict_fn caches one executable per shape; the dispatcher's
+        # padded bucket size selects it
+        lambda batch: engine.predict_fn(batch.shape)(batch),
         (args.height, args.width),
         max_batch=args.max_batch,
         max_delay_ms=args.max_delay_ms,
         pipeline_depth=args.pipeline_depth,
+        bucket_sizes=tuple(buckets),
     )
     server = ServingServer(predictor, args.dataset, args.host, args.port)
     port = server.start()

@@ -265,3 +265,92 @@ def test_stop_with_full_pipeline_fails_fast_and_joins():
     assert not any(isinstance(e, TimeoutError) for e in errors), errors
     assert len(errors) >= 3
     assert all(isinstance(e, RuntimeError) for e in errors), errors
+
+
+def test_bucketed_padding_picks_smallest_bucket():
+    """bucket_sizes: a lone request pads to bucket 1, a 3-request burst to
+    bucket 4 — never to max_batch."""
+    shapes = []
+
+    def predict(batch):
+        shapes.append(batch.shape[0])
+        time.sleep(0.03)
+        return (batch.mean(-1) > 127).astype(np.int32)
+
+    predictor = BatchingPredictor(
+        predict, input_size=(8, 8), max_batch=8, max_delay_ms=30,
+        bucket_sizes=(1, 2, 4, 8),
+    )
+    try:
+        one = predictor.predict(np.full((8, 8, 3), 255, np.uint8))
+        assert (one == 1).all()
+        assert shapes == [1]
+
+        results = [None] * 3
+
+        def call(i):
+            results[i] = predictor.predict(np.full((8, 8, 3), 255, np.uint8))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all((r == 1).all() for r in results)
+        # every padded shape is a declared bucket, none is max_batch=8
+        assert all(s in (1, 2, 4) for s in shapes[1:]), shapes
+    finally:
+        predictor.stop()
+
+
+def test_bucket_sizes_validated():
+    with pytest.raises(ValueError):
+        BatchingPredictor(lambda b: b, (4, 4), max_batch=8, bucket_sizes=(1, 2))
+
+
+def test_octet_stream_response():
+    """Accept: application/octet-stream returns raw mask bytes with shape
+    and dtype headers — the cheap machine-to-machine path."""
+    predictor = BatchingPredictor(
+        lambda b: (b.mean(-1) > 127).astype(np.uint8), input_size=(16, 16),
+        max_batch=2, max_delay_ms=1,
+    )
+    server = ServingServer(predictor, palette_dataset="citys", host="127.0.0.1", port=0)
+    port = server.start()
+    try:
+        bio = io.BytesIO()
+        Image.fromarray(np.full((16, 16, 3), 255, np.uint8)).save(bio, "PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=bio.getvalue(),
+            headers={"Accept": "application/octet-stream"}, method="POST",
+        )
+        resp = urllib.request.urlopen(req, timeout=10)
+        assert resp.headers["Content-Type"] == "application/octet-stream"
+        shape = tuple(int(v) for v in resp.headers["X-Mask-Shape"].split("x"))
+        dtype = np.dtype(resp.headers["X-Mask-Dtype"])
+        mask = np.frombuffer(resp.read(), dtype).reshape(shape)
+        assert mask.shape == (16, 16)
+        assert (mask == 1).all()
+    finally:
+        server.stop()
+
+
+def test_engine_mask_dtype_uint8():
+    """E2EConfig(mask_dtype='uint8') returns identical masks 4x smaller."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    model = FastSCNN(num_classes=19)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 19)
+    img = np.random.default_rng(1).integers(0, 255, (1, 32, 64, 3)).astype(np.uint8)
+    m32 = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32")
+    ).predict(img)
+    m8 = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", mask_dtype="uint8"),
+    ).predict(img)
+    assert m32.dtype == np.int32 and m8.dtype == np.uint8
+    np.testing.assert_array_equal(m32, m8.astype(np.int32))
