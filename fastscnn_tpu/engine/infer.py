@@ -60,9 +60,11 @@ class E2EConfig:
     TPU), 'gather' (two-tap lerp gathers, minimal-FLOP reference path),
     'pallas' (mask path only: fused upsample+argmax kernel, zero
     full-res logits in HBM; softmax/logits fall back to 'matmul'),
-    'hybrid' (mask path only: W-upsample on the MXU + a Pallas
-    H-lerp/argmax kernel that replaces XLA's 188 GB/s iota-reduce
-    fusion — see ops/pallas/upsample_argmax.py::w_matmul_h_lerp_argmax),
+    'hybrid' (mask path only: W-first interp-matmul plan — W stays
+    minor through both contractions, XLA fuses the argmax; see
+    ops/pallas/upsample_argmax.py::w_matmul_h_lerp_argmax),
+    'hybrid-pallas' (the same plan with its opt-in Pallas H-lerp/argmax
+    kernel — measured slower than the matmul plan, kept for study),
     or 'argmax-first' (mask path only, OPT-IN SEMANTIC CHANGE: argmax at
     the classifier's 1/8 resolution, nearest-expanded — mask boundaries
     quantize to the 8-px grid, trading boundary fidelity for speed).
@@ -75,9 +77,10 @@ class E2EConfig:
     std: tuple[float, ...] | None = None
     softmax: bool = False
     compute_dtype: str = "bfloat16"
-    # 'hybrid' is the measured default (1,564 vs 1,505 fps at batch 128 on
-    # v5e — docs/PERFORMANCE.md); its non-mask paths (softmax/logits) use
-    # the same matmul formulation as 'matmul'.
+    # 'hybrid' (the W-first matmul plan, no Pallas) is the measured
+    # default: 1,564 vs 1,505 fps at batch 128 on v5e —
+    # docs/PERFORMANCE.md. Its non-mask paths (softmax/logits) use the
+    # same matmul formulation as 'matmul'.
     final_upsample: str = "hybrid"
     # dtype of the returned argmax mask. 'uint8' is lossless for every
     # supported dataset (num_classes ≤ 255) and quarters the device→host
@@ -184,14 +187,15 @@ class InferenceEngine:
                 logits, self._net_in_size(images.shape),
                 align_corners=True, use_pallas=True,
             )
-        if self.config.final_upsample == "hybrid":
+        if self.config.final_upsample in ("hybrid", "hybrid-pallas"):
             from fastscnn_tpu.ops.pallas.upsample_argmax import (
                 w_matmul_h_lerp_argmax,
             )
 
             logits = self._forward(images, upsample=False)
             return w_matmul_h_lerp_argmax(
-                logits, self._net_in_size(images.shape), align_corners=True
+                logits, self._net_in_size(images.shape), align_corners=True,
+                use_pallas=self.config.final_upsample == "hybrid-pallas",
             )
         if self.config.final_upsample == "argmax-first":
             logits = self._forward(images, upsample=False)

@@ -140,24 +140,30 @@ def w_matmul_h_lerp_argmax(
     align_corners: bool = True,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Hybrid mask path: W-upsample on the MXU, H-upsample + argmax in a
-    blocked Pallas kernel.
+    """Hybrid mask path: W-upsample on the MXU, then H-upsample + argmax
+    — by default as a second interp-matmul + XLA argmax in the
+    (N, h, C, W) layout; opt-in (``use_pallas=True``) as a blocked
+    Pallas kernel.
 
-    Why this split (measured, batch-128 serving trace 2026-08-17): XLA's
-    best graph W-upsamples via interp-matmul at ~670 GB/s, then fuses the
-    H-interp with the argmax into one variadic-reduce fusion
-    (`iota_reduce_fusion`) that runs at only 188 GB/s AND writes a dead
-    bf16 max tensor next to the s32 mask — 15.4 ms of an 83.5 ms
-    batch-128 iteration. This kernel replaces that fusion: each (image,
-    W-block) keeps its (h, C, W_blk) strip VMEM-resident across all its
-    output rows; per TH-row output block it dynamic-slices the ≤32-row
-    source window the banded two-tap H matrix actually touches and runs
-    one (TH, 32) @ (32, C·W_blk) MXU matmul, then argmaxes in VMEM and
-    writes only the (N, H, W) int32 mask.
+    History, honestly attributed (batch-128 serving A/Bs on v5e,
+    2026-08-17): the +3.9% this mode delivers over 'matmul'
+    (1,564 vs 1,505 fps) comes from the LAYOUT PLAN — contracting W
+    first keeps W minor through both matmuls and lets XLA fuse the
+    argmax over the (N, H, C, W) product without the relayout copies the
+    'matmul' path (H-first via `resize_bilinear_matmul`) incurs. The
+    blocked Pallas kernel below was written to replace XLA's 188 GB/s
+    H-lerp+argmax `iota_reduce_fusion`, but its shape gate silently
+    failed at the flagship 1024×2048 shape (fixed 32-row window < the
+    33-row aligned span), so every committed benchmark of "hybrid" ran
+    this matmul fallback. With the gate fixed the kernel engages and
+    measures **954 fps vs 1,576 fps** for the fallback at batch 64-128 —
+    the in-kernel (win, C·W_blk) reshape + K=win≤48-padded-to-128 MXU
+    matmuls lose to XLA's pipelined full-K contraction. Kernel kept
+    opt-in for study; the matmul plan is the measured default.
 
-    A first formulation using a per-row fori_loop + dynamic slices
-    measured 1,115 fps vs 1,503 fps for plain XLA (per-row granularity
-    dominates); this blocked version replaces it.
+    A per-row fori_loop + dynamic-slice formulation measured 1,115 fps
+    (per-row granularity dominates) and was replaced by this blocked
+    version before both were rejected by the A/B above.
 
     Sampling weights identical to the 'matmul' path (same
     `_interp_matrix`); interpolation accumulates in f32 on the MXU and
@@ -168,7 +174,9 @@ def w_matmul_h_lerp_argmax(
     n, h, w, c = logits.shape
     out_h, out_w = int(out_size[0]), int(out_size[1])
     if use_pallas is None:
-        use_pallas = True
+        # Default OFF by measurement (see docstring): 954 vs 1,576 fps
+        # at the flagship shape once the kernel actually engages.
+        use_pallas = False
 
     # W-upsample (MXU, input dtype, same matrix/precision discipline as
     # resize_bilinear_matmul) — laid out (N, h, C, W) so W stays minor.
@@ -184,12 +192,16 @@ def w_matmul_h_lerp_argmax(
     )  # (N, h, C, W_out)
 
     th = 128 if out_h % 128 == 0 else _pick_tile(out_h, 64)
-    win, walign = 32, 16
+    walign = 16
     # Output rows [th·k, th·k+th) read source rows [lo, lo+span) with
     # lo = ⌊th·k·(h−1)/(H−1)⌋; a win-row window floor-aligned to walign
-    # always covers them when span + walign − 1 ≤ win.
+    # always covers them when span + walign − 1 ≤ win. win is the MXU K
+    # dim (pads to 128 either way), so size it to the span instead of a
+    # fixed 32 — a fixed 32 silently failed this gate at the flagship
+    # 1024×2048 shape (span 18 + 15 > 32) and fell back to XLA.
     scale = (h - 1) / (out_h - 1) if (align_corners and out_h > 1) else h / out_h
     span = int(np.ceil(th * scale)) + 2
+    win = min(h, -(-(span + walign - 1) // walign) * walign)
     # W block: the f32 (th, C·wblk) product must fit VMEM comfortably.
     esize = jnp.dtype(dt).itemsize
     wblk, nj = out_w, 1
@@ -213,15 +225,23 @@ def w_matmul_h_lerp_argmax(
 
     hm = out_h - 1 if align_corners else out_h
     hn = h - 1 if align_corners else h
-    a_mat = jnp.asarray(np.ascontiguousarray(_im(h, out_h, align_corners).T), dt)
+    # (h, out_h) orientation: the dynamic win-row slice runs over
+    # SUBLANES (walign=16 matches the bf16 sublane tile) — a lane-dim
+    # slice at non-128 multiples is rejected by Mosaic.
+    a_mat = jnp.asarray(np.ascontiguousarray(_im(h, out_h, align_corners)), dt)
 
     def kernel(a_ref, x_ref, out_ref):
         k = pl.program_id(2)
         s = (k * th) * hn // hm
         s = jnp.minimum((s // walign) * walign, h - win)
-        a_blk = a_ref[:, pl.ds(s, win)]                       # (th, win)
+        s = pl.multiple_of(s, walign)
+        a_blk = a_ref[pl.ds(s, win), :]                       # (win, th)
         win_m = x_ref[0, pl.ds(s, win)].reshape(win, c * wblk)
-        z = jnp.dot(a_blk, win_m, preferred_element_type=jnp.float32)
+        z = jax.lax.dot_general(
+            a_blk, win_m,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (th, c*wblk)
         z = z.reshape(th, c, wblk)
         best = z[:, 0, :]
         idx = jnp.zeros((th, wblk), jnp.int32)
@@ -237,7 +257,7 @@ def w_matmul_h_lerp_argmax(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((th, h), lambda i, j, k: (k, 0)),
+            pl.BlockSpec((h, th), lambda i, j, k: (0, k)),
             # the whole (h, C, wblk) strip; constant over k so Pallas
             # fetches it once per (image, W block)
             pl.BlockSpec((1, h, c, wblk), lambda i, j, k: (i, 0, 0, j)),

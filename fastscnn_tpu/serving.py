@@ -408,7 +408,8 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8500)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--final-upsample", type=str, default="hybrid",
-                        choices=["hybrid", "matmul", "gather", "pallas", "argmax-first"],
+                        choices=["hybrid", "hybrid-pallas", "matmul", "gather",
+                                 "pallas", "argmax-first"],
                         help="mask upsample formulation (engine.E2EConfig); "
                         "'argmax-first' is the opt-in fast mode (+22% fps, "
                         "mask boundaries quantize to the 8-px grid)")

@@ -186,13 +186,13 @@ def test_engine_final_upsample_matmul_matches_gather(rng):
     params, state = init_fast_scnn(jax.random.PRNGKey(0), 7)
     x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
     masks = {}
-    for mode in ("matmul", "gather", "pallas", "hybrid"):
+    for mode in ("matmul", "gather", "pallas", "hybrid", "hybrid-pallas"):
         eng = InferenceEngine(
             model, params, state,
             config=E2EConfig(compute_dtype="float32", final_upsample=mode),
         )
         masks[mode] = eng.predict(x)
-    for mode in ("gather", "pallas", "hybrid"):
+    for mode in ("gather", "pallas", "hybrid", "hybrid-pallas"):
         diff = np.mean(masks["matmul"] != masks[mode])
         assert diff < 1e-3, f"mask diff {diff:.2%} matmul vs {mode}"
 
