@@ -193,9 +193,12 @@ class InferenceEngine:
             )
 
             logits = self._forward(images, upsample=False)
+            # The mask is born in mask_dtype inside the fused graph (no
+            # separate s32→u8 conversion pass over the full-res mask).
             return w_matmul_h_lerp_argmax(
                 logits, self._net_in_size(images.shape), align_corners=True,
                 use_pallas=self.config.final_upsample == "hybrid-pallas",
+                out_dtype=jnp.dtype(self.config.mask_dtype),
             )
         if self.config.final_upsample == "argmax-first":
             logits = self._forward(images, upsample=False)

@@ -40,7 +40,42 @@ from fastscnn_tpu.ops.resize import (
     resize_bilinear,
 )
 
-__all__ = ["upsample_argmax"]
+__all__ = ["upsample_argmax", "packed_argmax"]
+
+
+def packed_argmax(y: jnp.ndarray, axis: int, out_dtype=jnp.int32) -> jnp.ndarray:
+    """``argmax`` as a SINGLE-accumulator max-reduce via bit-packing.
+
+    **Measured rejection (2026-08-17): do NOT use on the serving path.**
+    Hypothesis was that XLA's variadic (max-value, index) reduce wastes
+    HBM writes on the dead bf16 max output; the interleaved A/B at the
+    flagship shape (batch 128, 1024×2048×19 bf16) says otherwise:
+    1,022 fps with this packing vs 1,576 fps with plain ``jnp.argmax``
+    (−35%). XLA fuses the variadic reduce into the H-matmul epilogue and
+    never pays for the max tensor, while the packing's bitcast / where /
+    iota / shift passes are extra VPU work that the fusion then carries
+    per output element. Kept (exact + tested) as a documented rejected
+    experiment; see docs/PERFORMANCE.md "Rejected after honest A/B".
+
+    Mechanics: map each bf16 value's bits to an order-preserving uint16
+    (IEEE trick: flip all bits of negatives, set the sign bit of
+    non-negatives), pack ``(ordered << 8) | (C-1-class)`` into one
+    int32, take a plain ``max`` reduce, decode the class from the low
+    byte. Ordering is exact and ties break toward the LOWEST class
+    index — identical to ``jnp.argmax``'s first-occurrence rule.
+
+    Falls back to ``jnp.argmax`` for non-bf16 dtypes or C > 256.
+    """
+    axis = axis % y.ndim
+    c = y.shape[axis]
+    if y.dtype != jnp.bfloat16 or c > 256:
+        return jnp.argmax(y, axis=axis).astype(out_dtype)
+    u = jax.lax.bitcast_convert_type(y, jnp.uint16).astype(jnp.int32)
+    ordered = jnp.where(u & 0x8000 != 0, ~u & 0xFFFF, u | 0x8000)
+    cls = jax.lax.broadcasted_iota(jnp.int32, y.shape, axis)
+    packed = (ordered << 8) | (c - 1 - cls)
+    m = jnp.max(packed, axis=axis)
+    return ((c - 1) - (m & 0xFF)).astype(out_dtype)
 
 
 def _interp_matrix(in_size: int, out_size: int, align_corners: bool, transpose: bool):
@@ -139,6 +174,7 @@ def w_matmul_h_lerp_argmax(
     out_size: tuple[int, int],
     align_corners: bool = True,
     use_pallas: bool | None = None,
+    out_dtype=jnp.int32,
 ) -> jnp.ndarray:
     """Hybrid mask path: W-upsample on the MXU, then H-upsample + argmax
     — by default as a second interp-matmul + XLA argmax in the
@@ -219,7 +255,9 @@ def w_matmul_h_lerp_argmax(
     )
     if not ok:
         y = _matmul_h(xw, out_h, align_corners)
-        return jnp.argmax(y, axis=2).astype(jnp.int32)
+        # Plain jnp.argmax: the variadic reduce fuses into the H-matmul
+        # epilogue; packed_argmax was A/B'd 35% slower here (see its doc).
+        return jnp.argmax(y, axis=2).astype(out_dtype)
 
     from jax.experimental import pallas as pl
 
@@ -253,7 +291,7 @@ def w_matmul_h_lerp_argmax(
         out_ref[0] = idx
 
     grid = (n, nj, out_h // th)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -265,6 +303,7 @@ def w_matmul_h_lerp_argmax(
         out_specs=pl.BlockSpec((1, th, wblk), lambda i, j, k: (i, k, j)),
         out_shape=jax.ShapeDtypeStruct((n, out_h, out_w), jnp.int32),
     )(a_mat, xw)
+    return out.astype(out_dtype)
 
 
 def _matmul_h(xw: jnp.ndarray, out_h: int, align_corners: bool):

@@ -220,3 +220,49 @@ def test_engine_argmax_first_mode(rng):
     # near boundaries — random-init logits are smooth enough for >60%
     agreement = np.mean(fast == exact)
     assert agreement > 0.6, f"agreement {agreement:.2%}"
+
+
+def test_packed_argmax_exact_including_ties(rng):
+    """packed_argmax (a measured-rejected serving optimization, kept as a
+    documented experiment) must agree with jnp.argmax EXACTLY, including
+    first-occurrence tie-breaking, for bf16 inputs with C <= 256."""
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.ops.pallas.upsample_argmax import packed_argmax
+
+    y = jnp.asarray(rng.standard_normal((3, 11, 7, 19)), jnp.bfloat16)
+    # Force exact ties (bf16 rounding makes duplicates likely anyway, but
+    # make them certain): copy channel 4 into channels 9 and 14.
+    y = y.at[..., 9].set(y[..., 4]).at[..., 14].set(y[..., 4])
+    for axis in range(4):
+        ref = np.asarray(jnp.argmax(y, axis=axis))
+        got = np.asarray(packed_argmax(y, axis=axis))
+        np.testing.assert_array_equal(ref, got)
+    # uint8 output dtype and the non-bf16 fallback
+    assert packed_argmax(y, axis=-1, out_dtype=jnp.uint8).dtype == jnp.uint8
+    yf = y.astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(packed_argmax(yf, axis=-1)), np.asarray(jnp.argmax(yf, axis=-1))
+    )
+
+
+def test_engine_mask_dtype_uint8(rng):
+    """mask_dtype='uint8' must give the identical mask as int32, born
+    uint8 inside the fused graph (no host-side conversion)."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    model = FastSCNN(num_classes=7)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 7)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    m32 = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32")
+    ).predict(x)
+    m8 = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", mask_dtype="uint8"),
+    ).predict(x)
+    assert np.asarray(m8).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m8))
