@@ -68,8 +68,20 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     hot. Called automatically when the inference engine or the sharded
     train-step modules load. No-op when ``FASTSCNN_NO_COMPILATION_CACHE``
     is set truthy or the backend refuses serialization (returns None).
+
+    The cache directory is namespaced by a HOST CPU fingerprint: XLA:CPU
+    AOT executables bake in the compile host's machine features (AVX512
+    variants, AMX, ...) and XLA's cache key does NOT include them, so a
+    cache shared across heterogeneous hosts (this sandbox's VMs migrate)
+    loads foreign-host code — the loader warns "could lead to execution
+    errors such as SIGILL", and a mixed hit/miss pair of executables can
+    even disagree numerically (observed once as a grad-accum parity test
+    flake: the scan step compiled natively, the unrolled reference loaded
+    a foreign blob). One warm-up per distinct host type is the price.
     """
+    import hashlib
     import os
+    import platform as _platform
 
     if _CACHE_ENABLED:
         return _CACHE_ENABLED[0]
@@ -83,6 +95,19 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or os.path.expanduser("~/.cache/fastscnn_tpu/xla")
     )
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+        host = hashlib.sha1(
+            (_platform.machine() + flags).encode()
+        ).hexdigest()[:12]
+    except OSError:
+        host = _platform.machine() or "unknown-host"
+    path = os.path.join(path, host)
     try:
         import jax
 
