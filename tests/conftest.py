@@ -23,9 +23,16 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator, seeded from the test's node id:
+    a test's data must never depend on which other tests ran before it.
+    (The previous session-scoped shared stream meant adding a test in one
+    file shifted every later test's draws — which once turned a suite
+    addition into a noise-floor tolerance flake three files away.)"""
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
 
 
 REFERENCE_ROOT = "/root/reference"

@@ -103,15 +103,21 @@ def test_adamw_optimizer_path(setup, rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
-def test_grad_accum_matches_manual_microbatching(setup, rng):
+def test_grad_accum_matches_manual_microbatching(setup):
     """grad_accum=2 must equal the hand-rolled reference: per-microbatch
     grads (model_state threaded sequentially, rng fold_in per microbatch),
-    averaged, one optimizer update."""
+    averaged, one optimizer update.
+
+    Uses a LOCAL generator, not the session ``rng`` fixture: the shared
+    stream's position depends on which tests ran before, and this test's
+    noise-floor tolerances must see fixed data regardless of suite
+    composition (a stream shift once handed it a draw where one leaf's
+    update collapsed to ~1e-7, turning ulp noise into a ratio of 1.09)."""
     import optax
 
     model, optimizer, state = setup
     loss_fn = get_loss_fn("dice", aux=True)
-    images, targets = _batch(rng, n=4, h=32, w=32)
+    images, targets = _batch(np.random.default_rng(1234), n=4, h=32, w=32)
     targets = jnp.clip(targets, 0, 1)
     key = jax.random.PRNGKey(3)
 
@@ -185,12 +191,20 @@ def test_grad_accum_matches_manual_microbatching(setup, rng):
             g, w, b = (np.asarray(t, np.float64) for t in (g, w, b))
             err = np.linalg.norm((g - w).ravel())
             update = np.linalg.norm((w - b).ravel())
-            if update < 1e-8:  # untouched leaf: any difference is a bug
-                assert err < 1e-6, f"{what}: drift {err} on unchanged leaf"
-            else:
-                assert err / update < 0.05, (
-                    f"{what}: ||got-want||/||update|| = {err / update:.3f}"
-                )
+            # Two-sided gate: pass if the difference is within the f32
+            # ulp noise floor for a leaf of this magnitude (~10 ulps:
+            # 1e-6·||leaf||) OR within 5% of the update norm. A leaf
+            # whose gradient happens to be ~0 for this draw has
+            # update≈1e-7, where pure reassociation noise would
+            # otherwise blow the ratio past any threshold; a semantic
+            # bug (wrong rng fold / slice / missing ÷grad_accum /
+            # un-threaded BN state) shifts the WHOLE update, clearing
+            # both gates by orders of magnitude.
+            noise_floor = 1e-6 * max(1.0, np.linalg.norm(b.ravel()))
+            assert err < noise_floor or err < 0.05 * update, (
+                f"{what}: ||got-want|| = {err:.3e}, update norm = "
+                f"{update:.3e}, noise floor = {noise_floor:.3e}"
+            )
 
     assert_update_close(new_state.params, want_params, params_copy, "params")
     # BN stats come from the threaded microbatch sequence
