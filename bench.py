@@ -36,7 +36,12 @@ def main():
     h, w = 1024, 2048
     num_classes = 19
 
-    model = FastSCNN(num_classes=num_classes)
+    # BENCH_DW_IMPL=taps A/Bs the LTD depthwise convs as VPU tap
+    # accumulation (ops/conv.py::dw_conv2d_taps) against the default conv.
+    model = FastSCNN(
+        num_classes=num_classes,
+        folded_dw_impl=os.environ.get("BENCH_DW_IMPL", "conv"),
+    )
     params, state = init_fast_scnn(jax.random.PRNGKey(0), num_classes)
     engine = InferenceEngine(
         model,

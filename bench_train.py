@@ -39,7 +39,8 @@ def main():
     num_classes = int(os.environ.get("BENCH_TRAIN_CLASSES", "2"))
     loss_name = os.environ.get("BENCH_TRAIN_LOSS", "dice")
 
-    model = FastSCNN(num_classes=num_classes, aux=True)
+    stem_impl = os.environ.get("BENCH_TRAIN_STEM", "xla")
+    model = FastSCNN(num_classes=num_classes, aux=True, stem_impl=stem_impl)
     schedule = lr_schedule("poly", base_lr=1e-2, niters=10000, power=0.9)
     optimizer = make_optimizer("sgd", schedule)
     loss_fn = get_loss_fn(loss_name, aux=True, num_classes=num_classes)

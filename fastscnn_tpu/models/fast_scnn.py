@@ -34,6 +34,8 @@ from fastscnn_tpu.ops.conv import (
     batch_norm_apply,
     batch_norm_train,
     conv2d,
+    conv2d_tapbwd,
+    dw_conv2d_taps,
     fold_conv_bn,
 )
 from fastscnn_tpu.ops.pool import adaptive_avg_pool
@@ -120,18 +122,20 @@ def _apply_bn(p_bn, s_bn, x, training):
     return batch_norm_apply(x, p_bn["scale"], p_bn["bias"], s_bn["mean"], s_bn["var"]), s_bn
 
 
-def _apply_cbr(p, s, x, training, stride=1, padding=0, groups=1, relu=True):
-    y = conv2d(x, p["w"], stride=stride, padding=padding, groups=groups)
+def _apply_cbr(p, s, x, training, stride=1, padding=0, groups=1, relu=True, conv_fn=conv2d):
+    y = conv_fn(x, p["w"], stride=stride, padding=padding, groups=groups)
     y, s_bn = _apply_bn(p["bn"], s["bn"], y, training)
     if relu:
         y = jax.nn.relu(y)
     return y, {"bn": s_bn}
 
 
-def _apply_ds(p, s, x, training, stride=1):
+def _apply_ds(p, s, x, training, stride=1, conv_fn=conv2d):
     cin = x.shape[-1]
-    y, s_dw = _apply_cbr(p["dw"], s["dw"], x, training, stride=stride, padding=1, groups=cin)
-    y, s_pw = _apply_cbr(p["pw"], s["pw"], y, training)
+    y, s_dw = _apply_cbr(
+        p["dw"], s["dw"], x, training, stride=stride, padding=1, groups=cin, conv_fn=conv_fn
+    )
+    y, s_pw = _apply_cbr(p["pw"], s["pw"], y, training, conv_fn=conv_fn)
     return y, {"dw": s_dw, "pw": s_pw}
 
 
@@ -183,6 +187,19 @@ class FastSCNN:
     # ppm_align_corners=False to reproduce the reference's deployed graph.
     ppm_sizes: tuple[int, ...] = _PPM_SIZES
     ppm_align_corners: bool = True
+    # Training-time implementation of the small-channel stem (LTD) convs.
+    # 'xla' = plain lax convs (XLA-native backward); 'tapbwd' = same
+    # forward HLO but dW computed as per-tap contractions
+    # (ops/conv.py::conv2d_tapbwd) — an A/B candidate for the measured
+    # small-C stem backward bottleneck (docs/PERFORMANCE.md §"Training:
+    # the 19-class Cityscapes recipe traced"). Identical semantics; the
+    # folded serving path ignores it (no backward there).
+    stem_impl: str = "xla"
+    # Serving-graph impl of the LTD depthwise convs in apply_folded:
+    # 'conv' = lax conv (default); 'taps' = dw_conv2d_taps VPU tap
+    # accumulation — A/B candidate for the measured #1 serving op (stem
+    # dsconv1-dw at 169 GB/s, docs/PERFORMANCE.md round-2 profile).
+    folded_dw_impl: str = "conv"
 
     # -- init ---------------------------------------------------------------
     def init(self, key) -> tuple[Params, Params]:
@@ -226,9 +243,23 @@ class FastSCNN:
     # -- modules ------------------------------------------------------------
     def _ltd(self, p, s, x, training):
         """reference:models/fast_scnn.py:148-161."""
-        y, s1 = _apply_cbr(p["conv"], s["conv"], x, training, stride=2, padding=0)
-        y, s2 = _apply_ds(p["dsconv1"], s["dsconv1"], y, training, stride=2)
-        y, s3 = _apply_ds(p["dsconv2"], s["dsconv2"], y, training, stride=2)
+        if self.stem_impl == "xla":
+            conv_fn = conv2d
+        elif self.stem_impl == "tapbwd":
+            conv_fn = conv2d_tapbwd
+        elif self.stem_impl == "taps":
+            # dw convs as explicit VPU tap accumulation (fwd AND bwd
+            # reformulated via AD of the slices); dense/pw convs keep the
+            # XLA forward with the per-tap dW.
+            def conv_fn(x, w, stride=1, padding=0, groups=1):
+                if groups > 1:
+                    return dw_conv2d_taps(x, w, stride=stride, padding=padding)
+                return conv2d_tapbwd(x, w, stride=stride, padding=padding, groups=groups)
+        else:
+            raise ValueError(f"unknown stem_impl {self.stem_impl!r}")
+        y, s1 = _apply_cbr(p["conv"], s["conv"], x, training, stride=2, padding=0, conv_fn=conv_fn)
+        y, s2 = _apply_ds(p["dsconv1"], s["dsconv1"], y, training, stride=2, conv_fn=conv_fn)
+        y, s3 = _apply_ds(p["dsconv2"], s["dsconv2"], y, training, stride=2, conv_fn=conv_fn)
         return y, {"conv": s1, "dsconv1": s2, "dsconv2": s3}
 
     def _gfe(self, p, s, x, training):
@@ -313,8 +344,15 @@ class FastSCNN:
             y = conv2d(y, p["w"], p["b"], stride=stride, padding=padding, groups=groups)
             return jax.nn.relu(y) if relu else y
 
-        def ds(p, y, stride=1):
-            y = cbr(p["dw"], y, stride=stride, padding=1, groups=y.shape[-1])
+        def cbr_dw_taps(p, y, stride):
+            y = dw_conv2d_taps(y, p["w"], p["b"], stride=stride, padding=1)
+            return jax.nn.relu(y)
+
+        def ds(p, y, stride=1, dw_taps=False):
+            if dw_taps:
+                y = cbr_dw_taps(p["dw"], y, stride)
+            else:
+                y = cbr(p["dw"], y, stride=stride, padding=1, groups=y.shape[-1])
             return cbr(p["pw"], y)
 
         def bottleneck(p, y, stride):
@@ -329,9 +367,10 @@ class FastSCNN:
         size = (x.shape[1], x.shape[2])
         p = fparams
         # LTD
+        dw_taps = self.folded_dw_impl == "taps"
         y = cbr(p["learning_to_downsample"]["conv"], x, stride=2)
-        y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2)
-        higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2)
+        y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_taps=dw_taps)
+        higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_taps=dw_taps)
         # GFE
         y = higher
         g = p["global_feature_extractor"]

@@ -5,6 +5,8 @@ from fastscnn_tpu.ops.resize import (
 from fastscnn_tpu.ops.pool import adaptive_avg_pool, avg_pool, max_pool
 from fastscnn_tpu.ops.conv import (
     conv2d,
+    conv2d_tapbwd,
+    dw_conv2d_taps,
     batch_norm_apply,
     batch_norm_train,
     fold_conv_bn,
@@ -17,6 +19,8 @@ __all__ = [
     "avg_pool",
     "max_pool",
     "conv2d",
+    "conv2d_tapbwd",
+    "dw_conv2d_taps",
     "batch_norm_apply",
     "batch_norm_train",
     "fold_conv_bn",

@@ -13,12 +13,16 @@ identical outputs and training matches step-for-step.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
     "conv2d",
+    "conv2d_tapbwd",
+    "dw_conv2d_taps",
     "batch_norm_apply",
     "batch_norm_train",
     "fold_conv_bn",
@@ -77,6 +81,196 @@ def conv2d(
         feature_group_count=groups,
         precision=f32_precision(x.dtype),
     )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _conv_out_len(size: int, k: int, stride: int, padding: int) -> int:
+    return (size + 2 * padding - k) // stride + 1
+
+
+def _conv_dx(g, w, stride, padding, groups, x_shape, precision):
+    """Input cotangent of :func:`conv2d`: the transposed convolution,
+    expressed directly as a dilated conv (what jax's AD transpose emits,
+    written out so a custom backward can reuse it unchanged)."""
+    kh, kw, _, _ = w.shape
+    wt = jnp.flip(w, (0, 1))
+    if groups == 1:
+        wt = wt.swapaxes(2, 3)  # HWIO with I ↔ O
+    # groups == C (depthwise, multiplier 1): (kh, kw, 1, C) stays — each
+    # channel's cotangent convolves with its own flipped tap stencil.
+    rh = (x_shape[1] + 2 * padding - kh) % stride
+    rw = (x_shape[2] + 2 * padding - kw) % stride
+    return lax.conv_general_dilated(
+        g,
+        wt,
+        window_strides=(1, 1),
+        padding=[(kh - 1 - padding, kh - 1 - padding + rh),
+                 (kw - 1 - padding, kw - 1 - padding + rw)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMS,
+        feature_group_count=groups,
+        precision=precision,
+    )
+
+
+def _conv_dw_taps(x, g, kh, kw, stride, padding, groups, precision):
+    """Weight cotangent as per-tap contractions instead of XLA's
+    kernel-grad convolution.
+
+    For each of the kh·kw taps, the contribution to dW is a plain
+    contraction over (N, Ho, Wo) between a strided window of x and the
+    output cotangent — a tall-skinny MXU matmul (dense conv) or an
+    elementwise multiply-reduce (depthwise). Motivation: on TPU, XLA's
+    kernel-grad convolution for the small-C stem convs runs far below
+    bandwidth (measured 147 GB/s for conv1's dW — docs/PERFORMANCE.md
+    §"Training: the 19-class Cityscapes recipe traced"); the tap
+    formulation exposes the reduction directly to XLA's reduce/matmul
+    codegen instead of its conv emitter. Semantically identical (same
+    sums, reassociated).
+    """
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    n, _, _, cin = x.shape
+    ho, wo = g.shape[1], g.shape[2]
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)  # f32 accum for bf16 in
+    taps = []
+    for di in range(kh):
+        for dj in range(kw):
+            xv = lax.slice(
+                x,
+                (0, di, dj, 0),
+                (n, di + (ho - 1) * stride + 1, dj + (wo - 1) * stride + 1, cin),
+                (1, stride, stride, 1),
+            )
+            if groups == 1:
+                taps.append(
+                    lax.dot_general(
+                        xv,
+                        g,
+                        ((( 0, 1, 2), (0, 1, 2)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=acc_dtype,
+                    )
+                )  # (Cin, Cout)
+            else:
+                # depthwise multiplier-1: dW[·, ·, 0, c] = Σ x·g per channel
+                taps.append(
+                    jnp.sum(
+                        xv.astype(acc_dtype) * g.astype(acc_dtype), axis=(0, 1, 2)
+                    )[None, :]
+                )  # (1, C)
+    cin_w = cin if groups == 1 else 1
+    cout = g.shape[-1]
+    dw = jnp.stack(taps).reshape(kh, kw, cin_w, cout)
+    return dw
+
+
+def _conv2d_tapbwd_impl(x, w, stride, padding, groups):
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=_DIMS,
+        feature_group_count=groups,
+        precision=f32_precision(x.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv2d_tapbwd(x, w, stride, padding, groups):
+    return _conv2d_tapbwd_impl(x, w, stride, padding, groups)
+
+
+def _conv2d_tapbwd_fwd(x, w, stride, padding, groups):
+    return _conv2d_tapbwd_impl(x, w, stride, padding, groups), (x, w)
+
+
+def _conv2d_tapbwd_bwd(stride, padding, groups, res, g):
+    x, w = res
+    kh, kw = w.shape[0], w.shape[1]
+    prec = f32_precision(x.dtype)
+    wc = w.astype(x.dtype)
+    dx = _conv_dx(g, wc, stride, padding, groups, x.shape, prec)
+    dw = _conv_dw_taps(x, g, kh, kw, stride, padding, groups, prec).astype(w.dtype)
+    return dx, dw
+
+
+_conv2d_tapbwd.defvjp(_conv2d_tapbwd_fwd, _conv2d_tapbwd_bwd)
+
+
+def conv2d_tapbwd(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """:func:`conv2d` with a hand-written backward (same forward HLO).
+
+    dX is the identical transposed conv jax's AD emits; dW switches from
+    XLA's kernel-grad convolution to per-tap contractions
+    (:func:`_conv_dw_taps`). Use for the small-channel stem convs where
+    the kernel-grad conv underutilizes the TPU (see
+    docs/PERFORMANCE.md); for MXU-sized convs XLA's native backward is
+    already good. Numerics: dW accumulates in f32 (vs the native
+    backward's bf16 conv output under bf16 training) — at least as
+    accurate, parity-tested against ``jax.vjp`` of :func:`conv2d`.
+    """
+    y = _conv2d_tapbwd(x, w, stride, padding, groups)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def dw_conv2d_taps(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 1,
+    groups: int | None = None,  # accepted for conv_fn signature parity
+) -> jnp.ndarray:
+    """Depthwise conv as explicit tap accumulation (shifted strided-slice
+    FMAs) instead of ``lax.conv_general_dilated``.
+
+    Each of the kh·kw taps is one elementwise multiply-add over a strided
+    window of x — pure VPU work whose slices never touch the lane (C)
+    axis, so XLA lowers it as fused vector code rather than through its
+    conv emitter (whose depthwise path measured 169 GB/s — well below
+    bandwidth — on the stem's small-C stride-2 shapes;
+    docs/PERFORMANCE.md). Accumulates in f32 and casts once at the end,
+    matching the conv op's internal f32 accumulation. jax AD of the
+    slices gives the tap-formulated backward automatically (slice ↔ pad,
+    multiply-reduce for dW).
+    """
+    kh, kw, _, c = w.shape
+    if groups is not None and groups != x.shape[-1]:
+        raise ValueError("dw_conv2d_taps is depthwise-only (groups == C)")
+    if c != x.shape[-1]:
+        raise ValueError(f"weight C {c} != input C {x.shape[-1]} (multiplier-1 only)")
+    n = x.shape[0]
+    ho = _conv_out_len(x.shape[1], kh, stride, padding)
+    wo = _conv_out_len(x.shape[2], kw, stride, padding)
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)  # f32 accum for bf16 in
+    wf = w.astype(acc_dtype)
+    acc = None
+    for di in range(kh):
+        for dj in range(kw):
+            xv = lax.slice(
+                x,
+                (0, di, dj, 0),
+                (n, di + (ho - 1) * stride + 1, dj + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            term = xv.astype(acc_dtype) * wf[di, dj, 0, :]
+            acc = term if acc is None else acc + term
+    y = acc.astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

@@ -68,6 +68,9 @@ def parse_args(argv=None):
                         help="input pipeline: threaded prefetch (default) or Grain "
                              "(multiprocess workers, per-record deterministic aug)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--stem-impl", type=str, default="xla", choices=["xla", "tapbwd", "taps"],
+                        help="training-time impl of the small-C stem convs "
+                             "(tapbwd = per-tap dW contractions; see docs/PERFORMANCE.md)")
     # bdd100k extras (reference:train_bdd100k.py)
     parser.add_argument("--subset", type=str, default="100k")
     parser.add_argument("--label-type", type=str, default="binary")
@@ -196,7 +199,10 @@ class Trainer:
         else:
             mean, std = None, None
 
-        self.model = FastSCNN(num_classes=self.num_classes, aux=args.aux)
+        self.model = FastSCNN(
+            num_classes=self.num_classes, aux=args.aux,
+            stem_impl=getattr(args, "stem_impl", "xla"),
+        )
         self.iters_per_epoch = max(len(self.train_ds) // args.batch_size, 1)
         schedule = lr_schedule(
             "poly",

@@ -266,3 +266,183 @@ def test_engine_mask_dtype_uint8(rng):
     ).predict(x)
     assert np.asarray(m8).dtype == np.uint8
     np.testing.assert_array_equal(np.asarray(m32), np.asarray(m8))
+
+
+# ---------------------------------------------------------------------------
+# conv2d_tapbwd: same forward as conv2d, hand-written backward (per-tap dW
+# contractions). Must agree with jax's native AD of conv2d on every stem
+# configuration.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,padding,groups",
+    [
+        (3, 32, 3, 2, 0, 1),    # LTD conv1
+        (32, 32, 3, 2, 1, 32),  # dsconv1 dw
+        (32, 48, 1, 1, 0, 1),   # dsconv1 pw
+        (48, 48, 3, 2, 1, 48),  # dsconv2 dw
+        (48, 48, 3, 1, 1, 48),  # stride-1 dw (classifier shape class)
+        (48, 64, 1, 1, 0, 1),   # dsconv2 pw
+    ],
+)
+def test_conv2d_tapbwd_matches_native_vjp(rng, cin, cout, k, stride, padding, groups):
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d, conv2d_tapbwd
+
+    n, h, w_ = 2, 17, 13  # odd sizes exercise the stride remainders
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((k, k, cin // groups, cout)) * 0.1, jnp.float32)
+
+    def f_ref(x, wgt):
+        return conv2d(x, wgt, stride=stride, padding=padding, groups=groups)
+
+    def f_tap(x, wgt):
+        return conv2d_tapbwd(x, wgt, stride=stride, padding=padding, groups=groups)
+
+    y_ref, vjp_ref = jax.vjp(f_ref, x, wgt)
+    y_tap, vjp_tap = jax.vjp(f_tap, x, wgt)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_tap))
+    g = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+    dx_ref, dw_ref = vjp_ref(g)
+    dx_tap, dw_tap = vjp_tap(g)
+    np.testing.assert_allclose(np.asarray(dx_ref), np.asarray(dx_tap), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_ref), np.asarray(dw_tap), rtol=1e-5, atol=1e-4)
+
+
+def test_stem_impl_tapbwd_model_grads_match(rng):
+    """FastSCNN(stem_impl='tapbwd') must produce the same training loss and
+    the same gradients as the default — the flag changes only how XLA
+    computes the stem backward, never the math."""
+    import jax
+
+    from fastscnn_tpu.losses import get_loss_fn
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(3), 5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float32)
+    t = jnp.asarray(rng.integers(-1, 5, (2, 64, 96)), jnp.int32)
+    loss_fn = get_loss_fn("ce", aux=False, num_classes=5)
+
+    def loss_of(model, p):
+        outputs, _ = model.apply(p, state, x, training=True, upsample_outputs=False)
+        return loss_fn(outputs, t)
+
+    results = {}
+    for impl in ("xla", "tapbwd"):
+        model = FastSCNN(num_classes=5, stem_impl=impl)
+        loss, grads = jax.value_and_grad(lambda p: loss_of(model, p))(params)
+        results[impl] = (float(loss), grads)
+    assert np.isclose(results["xla"][0], results["tapbwd"][0], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        results["xla"][1],
+        results["tapbwd"][1],
+    )
+
+
+def test_stem_impl_unknown_raises():
+    import jax
+
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 2)
+    model = FastSCNN(num_classes=2, stem_impl="nope")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="stem_impl"):
+        model.apply(params, state, x)
+
+
+@pytest.mark.parametrize("c,stride", [(32, 2), (48, 2), (128, 1)])
+def test_dw_conv2d_taps_matches_conv(rng, c, stride):
+    """Tap-accumulation depthwise conv == lax conv, values and grads."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d, dw_conv2d_taps
+
+    x = jnp.asarray(rng.standard_normal((2, 19, 15, c)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+    def f_ref(x, wgt, bias):
+        return conv2d(x, wgt, bias, stride=stride, padding=1, groups=c)
+
+    def f_tap(x, wgt, bias):
+        return dw_conv2d_taps(x, wgt, bias, stride=stride, padding=1)
+
+    y_ref, vjp_ref = jax.vjp(f_ref, x, wgt, bias)
+    y_tap, vjp_tap = jax.vjp(f_tap, x, wgt, bias)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_tap), rtol=1e-5, atol=1e-5)
+    g = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+    for a, b in zip(vjp_ref(g), vjp_tap(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
+
+
+def test_stem_impl_taps_model_grads_match(rng):
+    """stem_impl='taps' must be the same math as the default.
+
+    Compared in float64: in f32 the tap accumulation's harmless
+    reassociation (~1e-7 forward) flips ReLU-boundary pixels of a random
+    init, which legitimately perturbs gradients by ~0.5% — f64 removes
+    that amplifier, so any residual distance is a structural error
+    (wrong tap/stride/flip), not noise."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from fastscnn_tpu.losses import get_loss_fn
+        from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+        params, state = init_fast_scnn(jax.random.PRNGKey(3), 4)
+        to64 = lambda tree: jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float64) if p.dtype == jnp.float32 else p, tree
+        )
+        params, state = to64(params), to64(state)
+        x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float64)
+        t = jnp.asarray(rng.integers(-1, 4, (2, 64, 96)), jnp.int32)
+        loss_fn = get_loss_fn("ce", aux=False, num_classes=4)
+
+        def loss_of(model, p):
+            outputs, _ = model.apply(p, state, x, training=True, upsample_outputs=False)
+            return loss_fn(outputs, t)
+
+        ref_loss, ref_grads = jax.value_and_grad(
+            lambda p: loss_of(FastSCNN(num_classes=4), p)
+        )(params)
+        tap_loss, tap_grads = jax.value_and_grad(
+            lambda p: loss_of(FastSCNN(num_classes=4, stem_impl="taps"), p)
+        )(params)
+        assert np.isclose(float(ref_loss), float(tap_loss), rtol=1e-12)
+        ref_vec = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(ref_grads)]
+        )
+        tap_vec = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(tap_grads)]
+        )
+        rel = np.linalg.norm(ref_vec - tap_vec) / np.linalg.norm(ref_vec)
+        assert rel < 1e-9, rel
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_folded_dw_impl_taps_same_mask(rng):
+    """InferenceEngine masks must not change when the LTD dw convs run as
+    tap accumulation (f32: exact up to reassociation)."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(1), 6)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    masks = {}
+    for impl in ("conv", "taps"):
+        model = FastSCNN(num_classes=6, folded_dw_impl=impl)
+        eng = InferenceEngine(
+            model, params, state, config=E2EConfig(compute_dtype="float32")
+        )
+        masks[impl] = np.asarray(eng.predict(x))
+    np.testing.assert_array_equal(masks["conv"], masks["taps"])
