@@ -305,3 +305,48 @@ def test_dedupe_batch_op_remaps_orphan_masks(tmp_path):
         assert (remapped[1:3] == 255).all()
     finally:
         server.stop()
+
+
+def test_editor_session_navigation_and_save(tmp_path):
+    """EditorSession: image discovery, mask auto-load, prev/next bounds,
+    save convention <masks>/<stem>.png — the headless half of the
+    reference's interactive editor (reference:interactive_mask_editor.py:43-95,353-367)."""
+    from PIL import Image
+
+    from fastscnn_tpu.tools.mask_editor import EditorSession
+
+    imgs = tmp_path / "images"
+    masks = tmp_path / "masks"
+    imgs.mkdir()
+    masks.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("b.jpg", "a.png", "c.jpeg", "skip.txt"):
+        if name.endswith(".txt"):
+            (imgs / name).write_text("not an image")
+        else:
+            Image.fromarray(rng.integers(0, 255, (12, 16, 3), dtype=np.uint8)).save(imgs / name)
+    # pre-existing mask for 'a' (different size: must be nearest-resized)
+    Image.fromarray(np.full((6, 8), 255, np.uint8)).save(masks / "a.png")
+
+    sess = EditorSession(str(imgs), str(masks))
+    assert [os.path.basename(p) for p in sess.image_files] == ["a.png", "b.jpg", "c.jpeg"]
+    # existing mask loaded and resized to the image's shape
+    assert sess.canvas.mask.shape == (12, 16)
+    assert sess.canvas.mask.max() == 255
+    assert not sess.prev()  # at first image
+    assert sess.next()
+    assert os.path.basename(sess.current_image_path) == "b.jpg"
+    assert sess.canvas.mask.max() == 0  # no mask for b yet
+    # paint + save follows the <stem>.png convention
+    sess.canvas.rectangle(2, 3, 10, 9)
+    saved = sess.save()
+    assert saved == str(masks / "b.png")
+    reloaded = np.array(Image.open(saved))
+    assert reloaded[5, 5] == 255 and reloaded[0, 0] == 0
+    assert sess.next() and not sess.next()  # c is last
+    # overlay blends painted pixels only
+    sess.canvas.brush(4, 4, 2)
+    ov = sess.overlay()
+    assert ov.shape == (12, 16, 3)
+    assert not np.array_equal(ov[4, 4], sess.image[4, 4])
+    assert np.array_equal(ov[11, 15], sess.image[11, 15])
