@@ -197,8 +197,10 @@ class FastSCNN:
     stem_impl: str = "xla"
     # Serving-graph impl of the LTD depthwise convs in apply_folded:
     # 'conv' = lax conv (default); 'taps' = dw_conv2d_taps VPU tap
-    # accumulation — A/B candidate for the measured #1 serving op (stem
-    # dsconv1-dw at 169 GB/s, docs/PERFORMANCE.md round-2 profile).
+    # accumulation; 'pallas' = fused dw+bias+ReLU row kernel
+    # (ops/pallas/dw_conv.py) — A/B candidates for the measured #1
+    # serving op (stem dsconv1-dw at 169 GB/s, docs/PERFORMANCE.md
+    # round-2 profile).
     folded_dw_impl: str = "conv"
 
     # -- init ---------------------------------------------------------------
@@ -254,6 +256,15 @@ class FastSCNN:
             def conv_fn(x, w, stride=1, padding=0, groups=1):
                 if groups > 1:
                     return dw_conv2d_taps(x, w, stride=stride, padding=padding)
+                return conv2d_tapbwd(x, w, stride=stride, padding=padding, groups=groups)
+        elif self.stem_impl == "pallas":
+            # dw convs through the Pallas row kernel (XLA tap backward via
+            # its custom VJP; falls back to the lax conv off-TPU).
+            from fastscnn_tpu.ops.pallas.dw_conv import dw_conv3x3_pallas_vjp
+
+            def conv_fn(x, w, stride=1, padding=0, groups=1):
+                if groups > 1:
+                    return dw_conv3x3_pallas_vjp(x, w, stride, padding)
                 return conv2d_tapbwd(x, w, stride=stride, padding=padding, groups=groups)
         else:
             raise ValueError(f"unknown stem_impl {self.stem_impl!r}")
@@ -344,13 +355,17 @@ class FastSCNN:
             y = conv2d(y, p["w"], p["b"], stride=stride, padding=padding, groups=groups)
             return jax.nn.relu(y) if relu else y
 
-        def cbr_dw_taps(p, y, stride):
-            y = dw_conv2d_taps(y, p["w"], p["b"], stride=stride, padding=1)
-            return jax.nn.relu(y)
+        def cbr_dw_alt(p, y, stride):
+            if self.folded_dw_impl == "taps":
+                return jax.nn.relu(dw_conv2d_taps(y, p["w"], p["b"], stride=stride, padding=1))
+            # 'pallas': fused dw+bias+ReLU row kernel — ONE HBM round trip
+            from fastscnn_tpu.ops.pallas.dw_conv import dw_conv3x3_pallas
 
-        def ds(p, y, stride=1, dw_taps=False):
-            if dw_taps:
-                y = cbr_dw_taps(p["dw"], y, stride)
+            return dw_conv3x3_pallas(y, p["w"], p["b"], stride=stride, padding=1, relu=True)
+
+        def ds(p, y, stride=1, dw_alt=False):
+            if dw_alt:
+                y = cbr_dw_alt(p["dw"], y, stride)
             else:
                 y = cbr(p["dw"], y, stride=stride, padding=1, groups=y.shape[-1])
             return cbr(p["pw"], y)
@@ -367,10 +382,10 @@ class FastSCNN:
         size = (x.shape[1], x.shape[2])
         p = fparams
         # LTD
-        dw_taps = self.folded_dw_impl == "taps"
+        dw_alt = self.folded_dw_impl in ("taps", "pallas")
         y = cbr(p["learning_to_downsample"]["conv"], x, stride=2)
-        y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_taps=dw_taps)
-        higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_taps=dw_taps)
+        y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_alt=dw_alt)
+        higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_alt=dw_alt)
         # GFE
         y = higher
         g = p["global_feature_extractor"]

@@ -1,0 +1,145 @@
+"""Depthwise 3×3 conv Pallas kernel for the small-C stem.
+
+Why: the LTD stem's stride-2 depthwise convs are the serving graph's #1
+op (11.1 ms/iter at 169 GB/s, batch 128 — docs/PERFORMANCE.md round-2
+profile) and a large share of the 19-class training step's stem cost.
+XLA's depthwise path for these C ∈ {32, 48} shapes runs well below HBM
+bandwidth; the op itself is trivially bandwidth-bound (9 FMAs per output
+element).
+
+Formulation: one grid step per (image, output row). The three input rows
+an output row needs arrive as three BlockSpec views of the same padded
+tensor (block size 1 in H makes the index maps element-granular, so no
+halo machinery is needed); each of the 9 taps is a strided sublane slice
+times a per-channel scalar, accumulated in f32 on the VPU. Lanes carry C
+(padded to 128 in VMEM — a capacity/ALU cost, not an HBM one: the DMA
+moves only real bytes). Bias-add and ReLU fuse into the same kernel for
+the folded serving graph (conv+bias+ReLU is one HBM round trip).
+
+Semantics match ``ops.conv.conv2d(..., groups=C)`` exactly up to f32
+accumulation order (the conv op also accumulates f32 internally); parity
+is pinned by tests in interpret mode and against the XLA fallback.
+
+Reference mapping: the dw halves of reference:models/fast_scnn.py:64-79
+(_DSConv) and :148-161 (LearningToDownsample).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dw_conv3x3_pallas", "dw_conv3x3_pallas_vjp"]
+
+
+def _out_len(size: int, k: int, stride: int, padding: int) -> int:
+    return (size + 2 * padding - k) // stride + 1
+
+
+def _xla_fallback(x, w, b, stride, padding, relu):
+    from fastscnn_tpu.ops.conv import conv2d
+
+    y = conv2d(x, w, b, stride=stride, padding=padding, groups=x.shape[-1])
+    return jax.nn.relu(y) if relu else y
+
+
+def dw_conv3x3_pallas(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 1,
+    relu: bool = False,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused depthwise-3×3 [+bias][+ReLU], NHWC, multiplier 1.
+
+    Forward-only (serving): for a differentiable version see
+    :func:`dw_conv3x3_pallas_vjp`. Falls back to the lax conv on non-TPU
+    backends unless ``interpret=True`` (tests run the actual kernel body
+    in the Pallas interpreter on CPU).
+    """
+    kh, kw, mult, c = w.shape
+    if (kh, kw, mult) != (3, 3, 1) or c != x.shape[-1]:
+        raise ValueError(f"dw_conv3x3_pallas needs (3,3,1,C) weights, got {w.shape}")
+    if stride not in (1, 2):
+        raise ValueError(f"stride must be 1 or 2, got {stride}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if not (use_pallas or interpret):
+        return _xla_fallback(x, w, b, stride, padding, relu)
+
+    from jax.experimental import pallas as pl
+
+    n, h, wd, _ = x.shape
+    ho, wo = _out_len(h, 3, stride, padding), _out_len(wd, 3, stride, padding)
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    wp = wd + 2 * padding
+    w9 = w.astype(jnp.float32).reshape(9, c)
+    bias = jnp.zeros((1, c), jnp.float32) if b is None else b.astype(jnp.float32).reshape(1, c)
+
+    def kernel(r0_ref, r1_ref, r2_ref, w_ref, b_ref, out_ref):
+        rows = (r0_ref, r1_ref, r2_ref)
+        acc = jnp.broadcast_to(b_ref[0, :], (wo, c)).astype(jnp.float32)
+        for di in range(3):
+            row = rows[di][0, 0].astype(jnp.float32)  # (Wp, C)
+            for dj in range(3):
+                seg = jax.lax.slice(
+                    row, (dj, 0), (dj + (wo - 1) * stride + 1, c), (stride, 1)
+                )  # (Wo, C)
+                acc = acc + seg * w_ref[di * 3 + dj, :]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+    grid = (n, ho)
+    row_spec = lambda di: pl.BlockSpec(
+        (1, 1, wp, c), lambda i, j, di=di: (i, stride * j + di, 0, 0)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(0),
+            row_spec(1),
+            row_spec(2),
+            pl.BlockSpec((9, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, wo, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, w9, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def dw_conv3x3_pallas_vjp(x, w, stride=1, padding=1, use_pallas=None, interpret=False):
+    """Differentiable depthwise-3×3 (no bias/ReLU — the model applies BN
+    right after, reference:models/fast_scnn.py:70): Pallas forward,
+    XLA tap-formulated backward (ops/conv.py::_conv_dx / _conv_dw_taps)."""
+    return dw_conv3x3_pallas(
+        x, w, None, stride=stride, padding=padding, relu=False,
+        use_pallas=use_pallas, interpret=interpret,
+    )
+
+
+def _vjp_fwd(x, w, stride, padding, use_pallas, interpret):
+    y = dw_conv3x3_pallas_vjp(x, w, stride, padding, use_pallas, interpret)
+    return y, (x, w)
+
+
+def _vjp_bwd(stride, padding, use_pallas, interpret, res, g):
+    from fastscnn_tpu.ops.conv import _conv_dw_taps, _conv_dx, f32_precision
+
+    x, w = res
+    prec = f32_precision(x.dtype)
+    groups = x.shape[-1]
+    dx = _conv_dx(g, w.astype(x.dtype), stride, padding, groups, x.shape, prec)
+    dw = _conv_dw_taps(x, g, 3, 3, stride, padding, groups, prec).astype(w.dtype)
+    return dx, dw
+
+
+dw_conv3x3_pallas_vjp.defvjp(_vjp_fwd, _vjp_bwd)

@@ -68,7 +68,8 @@ def parse_args(argv=None):
                         help="input pipeline: threaded prefetch (default) or Grain "
                              "(multiprocess workers, per-record deterministic aug)")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--stem-impl", type=str, default="xla", choices=["xla", "tapbwd", "taps"],
+    parser.add_argument("--stem-impl", type=str, default="xla",
+                        choices=["xla", "tapbwd", "taps", "pallas"],
                         help="training-time impl of the small-C stem convs "
                              "(tapbwd = per-tap dW contractions; see docs/PERFORMANCE.md)")
     # bdd100k extras (reference:train_bdd100k.py)

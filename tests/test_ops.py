@@ -446,3 +446,103 @@ def test_folded_dw_impl_taps_same_mask(rng):
         )
         masks[impl] = np.asarray(eng.predict(x))
     np.testing.assert_array_equal(masks["conv"], masks["taps"])
+
+
+@pytest.mark.parametrize("c,stride,hw", [(32, 2, (19, 15)), (48, 2, (12, 20)), (32, 1, (9, 11))])
+def test_dw_conv3x3_pallas_interpret_matches_conv(rng, c, stride, hw):
+    """The Pallas dw kernel body (run in the interpreter on CPU) must match
+    the lax conv + bias + ReLU to f32 accumulation noise."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d
+    from fastscnn_tpu.ops.pallas.dw_conv import dw_conv3x3_pallas
+
+    x = jnp.asarray(rng.standard_normal((2, *hw, c)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    ref = jax.nn.relu(conv2d(x, wgt, bias, stride=stride, padding=1, groups=c))
+    got = dw_conv3x3_pallas(x, wgt, bias, stride=stride, padding=1, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
+    # and the XLA fallback path (what non-TPU backends execute)
+    fb = dw_conv3x3_pallas(x, wgt, bias, stride=stride, padding=1, relu=True, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fb))
+
+
+def test_dw_conv3x3_pallas_vjp_matches_native(rng):
+    """Interpreted Pallas forward + tap backward == native AD of the conv."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d
+    from fastscnn_tpu.ops.pallas.dw_conv import dw_conv3x3_pallas_vjp
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 32)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 1, 32)) * 0.2, jnp.float32)
+    y_ref, vjp_ref = jax.vjp(lambda x, w: conv2d(x, w, stride=2, padding=1, groups=32), x, wgt)
+    y_pal, vjp_pal = jax.vjp(lambda x, w: dw_conv3x3_pallas_vjp(x, w, 2, 1, None, True), x, wgt)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_pal), rtol=1e-5, atol=1e-6)
+    g = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+    for a, b in zip(vjp_ref(g), vjp_pal(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4)
+
+
+def test_folded_dw_impl_pallas_fallback_same_mask(rng):
+    """On CPU the 'pallas' serving mode takes its XLA fallback — masks must
+    equal the default graph's exactly (f32)."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(1), 6)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    masks = {}
+    for impl in ("conv", "pallas"):
+        model = FastSCNN(num_classes=6, folded_dw_impl=impl)
+        eng = InferenceEngine(
+            model, params, state, config=E2EConfig(compute_dtype="float32")
+        )
+        masks[impl] = np.asarray(eng.predict(x))
+    np.testing.assert_array_equal(masks["conv"], masks["pallas"])
+
+
+def test_stem_impl_pallas_model_grads_match(rng):
+    """stem_impl='pallas' on CPU = lax-conv forward (kernel fallback) +
+    tap-formulated backward via the custom VJP: grads must match native AD
+    in f64 (same gate as the tapbwd/taps variants)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from fastscnn_tpu.losses import get_loss_fn
+        from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+        params, state = init_fast_scnn(jax.random.PRNGKey(3), 4)
+        to64 = lambda tree: jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float64) if p.dtype == jnp.float32 else p, tree
+        )
+        params, state = to64(params), to64(state)
+        x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float64)
+        t = jnp.asarray(rng.integers(-1, 4, (2, 64, 96)), jnp.int32)
+        loss_fn = get_loss_fn("ce", aux=False, num_classes=4)
+
+        def loss_of(model, p):
+            outputs, _ = model.apply(p, state, x, training=True, upsample_outputs=False)
+            return loss_fn(outputs, t)
+
+        ref_loss, ref_grads = jax.value_and_grad(
+            lambda p: loss_of(FastSCNN(num_classes=4), p)
+        )(params)
+        pal_loss, pal_grads = jax.value_and_grad(
+            lambda p: loss_of(FastSCNN(num_classes=4, stem_impl="pallas"), p)
+        )(params)
+        assert np.isclose(float(ref_loss), float(pal_loss), rtol=1e-12)
+        ref_vec = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(ref_grads)]
+        )
+        pal_vec = np.concatenate(
+            [np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(pal_grads)]
+        )
+        rel = np.linalg.norm(ref_vec - pal_vec) / np.linalg.norm(ref_vec)
+        assert rel < 1e-9, rel
+    finally:
+        jax.config.update("jax_enable_x64", False)

@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 
 echo "== serving: folded dw impl (batch 128, 1024x2048 bf16) =="
 for rep in 1 2; do
-  for impl in conv taps; do
+  for impl in conv taps pallas; do
     echo "--- rep $rep dw_impl=$impl"
     BENCH_DW_IMPL=$impl BENCH_BATCHES=128 BENCH_TRIALS=3 timeout 1200 python bench.py
   done
@@ -22,7 +22,7 @@ done
 
 echo "== training: stem impl (ce19 768^2 bs16) =="
 for rep in 1 2; do
-  for impl in xla tapbwd taps; do
+  for impl in xla tapbwd taps pallas; do
     echo "--- rep $rep stem_impl=$impl"
     BENCH_TRAIN_STEM=$impl BENCH_TRAIN_CLASSES=19 BENCH_TRAIN_LOSS=ce \
       BENCH_TRAIN_CROP=768 BENCH_TRAIN_BATCHES=16 BENCH_TRAIN_ITERS=20 \
