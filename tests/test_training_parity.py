@@ -532,3 +532,104 @@ def test_convergence_to_lane_iou_gate():
         )
     _, miou, iou = _eval_miou(model, tstate.params, tstate.model_state, images, masks)
     assert iou[1] > 0.9, f"lane IoU {iou[1]:.4f} (mIoU {miou:.4f}) below gate"
+
+
+@requires_reference
+@requires_torch
+def test_ohem_ce_trajectory_matches_reference_inner_loop(monkeypatch):
+    """The Cityscapes-recipe loss (Mix OHEM-CE, reference:train.py:190-192)
+    through the same 150-step trajectory gate as the dice test: the OHEM
+    mining's discrete kept-set selection composes with our fused CE map
+    (losses/segmentation.py::ohem_cross_entropy_loss) inside the jitted
+    step exactly as the reference's numpy miner + CrossEntropyLoss does in
+    its trainer loop. use_weight=False on both sides (the 19-entry
+    Cityscapes weight table does not apply to the 2-class fixtures;
+    weighted CE semantics are pinned separately in test_losses.py)."""
+    import torch
+
+    # The reference loss hard-codes .cuda() on the mined target
+    # (reference:utils/loss.py:182); run it on CPU unchanged.
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False)
+
+    steps, nepochs = 150, 30
+    images, masks = load_fixtures()
+    steps_per_epoch = len(images) // BS
+
+    tmodel = _torch_model_no_dropout(2, aux=True)
+    tmodel.train()
+    init_sd = copy.deepcopy(tmodel.state_dict())
+    ref_loss = _ref_import("utils.loss")
+    criterion = ref_loss.MixSoftmaxCrossEntropyOHEMLoss(
+        aux=True, aux_weight=AUX_WEIGHT, ignore_index=-1, use_weight=False
+    )
+    _, topt, tsched = _torch_poly_sgd_setup(tmodel, steps_per_epoch, nepochs)
+
+    model = FastSCNN(num_classes=2, aux=True, dropout_rate=0.0)
+    params, state = import_torch_state_dict(init_sd, num_classes=2, aux=True)
+    schedule = lr_schedule(
+        "poly", base_lr=LR, nepochs=nepochs, iters_per_epoch=steps_per_epoch, power=0.9
+    )
+    optimizer = make_optimizer(
+        "sgd", schedule=schedule, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY
+    )
+    loss_fn = get_loss_fn("ce", aux=True, aux_weight=AUX_WEIGHT, num_classes=2)
+    step = make_train_step(
+        model, loss_fn, optimizer, mesh=None, compute_dtype=jnp.float32,
+        mean=None, std=None,
+    )
+    tstate = create_train_state(model, optimizer, params=params, model_state=state)
+
+    torch_losses, our_losses = [], []
+    rng = jax.random.PRNGKey(0)
+    for k, (img_u8, tgt) in enumerate(_batches(images, masks, steps, BS)):
+        cur_lr = tsched(k)
+        for group in topt.param_groups:
+            group["lr"] = cur_lr
+        x_t = torch.from_numpy(img_u8.transpose(0, 3, 1, 2).astype(np.float32) / 255.0)
+        topt.zero_grad()
+        tloss = criterion(tmodel(x_t), torch.from_numpy(tgt))
+        tloss.backward()
+        topt.step()
+        torch_losses.append(float(tloss.detach()))
+
+        tstate, metrics = step(
+            tstate, jnp.asarray(img_u8), jnp.asarray(tgt.astype(np.int32)), rng
+        )
+        our_losses.append(float(metrics["loss"]))
+
+    torch_losses = np.asarray(torch_losses)
+    our_losses = np.asarray(our_losses)
+    diff = np.abs(torch_losses - our_losses)
+    # Same chaos-envelope structure as the dice trajectory gates, with the
+    # transient bounds calibrated to OHEM: the discrete kept-set selection
+    # amplifies reduction-order noise into mid-run excursions whose size
+    # varies RUN TO RUN (torch's threaded CPU reductions are themselves
+    # nondeterministic — observed max-diff 0.365 / smoothed 0.07 on one
+    # run and smoothed 0.141 on the next, each with step 0 exact to 6e-8
+    # and the final 20 steps re-converged to ~3e-3). The transient gates
+    # below are therefore loose sanity bounds; the discriminative
+    # assertions are step-0 exactness, re-convergence, and final-model
+    # agreement — a wrong loss/update breaks all three and never
+    # re-converges.
+    assert diff[0] < 1e-5, f"step-0 loss diff {diff[0]:.2e}"
+    assert diff[1] < 5e-3, f"step-1 divergence {diff[1]:.2e}"
+    assert diff.max() < 0.8, f"trajectory broke tracking: max diff {diff.max():.3f}"
+    smooth = np.convolve(diff, np.ones(21) / 21, mode="valid")
+    assert smooth.max() < 0.25, f"smoothed divergence {smooth.max():.3f}"
+    assert diff[-20:].mean() < 0.05, f"no re-convergence: {diff[-20:].mean():.3f}"
+
+    # Quality gates — NOT a loss-level gate: OHEM's reported loss is the
+    # mean over the MINED (hardest) pixels, which hovers near ln 2 ≈ 0.74
+    # on both frameworks BY CONSTRUCTION even as the models train to >99%
+    # pixel accuracy (measured: torch 99.24% / ours 99.25% pixAcc,
+    # agreement 99.2%, our mIoU 0.978 after these 150 steps).
+    tmodel.eval()
+    with torch.no_grad():
+        x_all = torch.from_numpy(images.transpose(0, 3, 1, 2).astype(np.float32) / 255.0)
+        t_pred = tmodel(x_all)[0].argmax(1).numpy()
+    our_pred, our_miou, _ = _eval_miou(model, tstate.params, tstate.model_state, images, masks)
+    assert (t_pred == masks).mean() > 0.97, "torch model failed to train under OHEM"
+    assert (our_pred == masks).mean() > 0.97, "our model failed to train under OHEM"
+    assert our_miou > 0.9, f"our final mIoU {our_miou:.3f}"
+    agreement = (our_pred == t_pred).mean()
+    assert agreement > 0.97, f"final mask agreement {agreement:.5f}"
