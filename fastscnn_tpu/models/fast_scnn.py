@@ -197,10 +197,11 @@ class FastSCNN:
     stem_impl: str = "xla"
     # Serving-graph impl of the LTD depthwise convs in apply_folded:
     # 'conv' = lax conv (default); 'taps' = dw_conv2d_taps VPU tap
-    # accumulation; 'pallas' = fused dw+bias+ReLU row kernel
-    # (ops/pallas/dw_conv.py) — A/B candidates for the measured #1
-    # serving op (stem dsconv1-dw at 169 GB/s, docs/PERFORMANCE.md
-    # round-2 profile).
+    # accumulation; 'pallas' = fused dw+bias+ReLU row kernel; 'fused-ds'
+    # = the whole DSConv (dw+bias+ReLU+pw+bias+ReLU) in one kernel so the
+    # dw intermediate never touches HBM (ops/pallas/dw_conv.py) — A/B
+    # candidates for the measured #1 serving op (stem dsconv1-dw at
+    # 169 GB/s, docs/PERFORMANCE.md round-2 profile).
     folded_dw_impl: str = "conv"
 
     # -- init ---------------------------------------------------------------
@@ -364,6 +365,15 @@ class FastSCNN:
             return dw_conv3x3_pallas(y, p["w"], p["b"], stride=stride, padding=1, relu=True)
 
         def ds(p, y, stride=1, dw_alt=False):
+            if self.folded_dw_impl == "fused-ds" and dw_alt:
+                # whole DSConv in one kernel: the dw intermediate never
+                # touches HBM (ops/pallas/dw_conv.py::ds_conv3x3_pw_pallas)
+                from fastscnn_tpu.ops.pallas.dw_conv import ds_conv3x3_pw_pallas
+
+                return ds_conv3x3_pw_pallas(
+                    y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
+                    stride=stride, padding=1,
+                )
             if dw_alt:
                 y = cbr_dw_alt(p["dw"], y, stride)
             else:
@@ -382,7 +392,7 @@ class FastSCNN:
         size = (x.shape[1], x.shape[2])
         p = fparams
         # LTD
-        dw_alt = self.folded_dw_impl in ("taps", "pallas")
+        dw_alt = self.folded_dw_impl in ("taps", "pallas", "fused-ds")
         y = cbr(p["learning_to_downsample"]["conv"], x, stride=2)
         y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_alt=dw_alt)
         higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_alt=dw_alt)

@@ -31,7 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dw_conv3x3_pallas", "dw_conv3x3_pallas_vjp"]
+__all__ = ["dw_conv3x3_pallas", "dw_conv3x3_pallas_vjp", "ds_conv3x3_pw_pallas"]
 
 
 def _out_len(size: int, k: int, stride: int, padding: int) -> int:
@@ -113,6 +113,96 @@ def dw_conv3x3_pallas(
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
         interpret=interpret,
     )(xp, xp, xp, w9, bias)
+
+
+def ds_conv3x3_pw_pallas(
+    x: jnp.ndarray,
+    w_dw: jnp.ndarray,
+    b_dw: jnp.ndarray,
+    w_pw: jnp.ndarray,
+    b_pw: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The full folded DSConv — relu(pw(relu(dw(x)+b_dw))+b_pw) — in ONE
+    kernel (serving only; forward-only).
+
+    Beyond :func:`dw_conv3x3_pallas` this also removes the intermediate
+    depthwise output's HBM round trip entirely (at the serving flagship
+    shape, dsconv1's dw output is ~1.07 GB/iteration at batch 128): the
+    (Wo, C) depthwise row accumulator feeds the 1×1 pointwise matmul
+    directly from VMEM (the dw→pw fusion of arxiv.org/2404.19331, done
+    the TPU way). Matches the unfused folded graph: the dw activation is
+    cast to the compute dtype before the pw contraction, exactly as the
+    bf16 serving graph hands a bf16 tensor between the two convs.
+
+    Reference mapping: _DSConv, reference:models/fast_scnn.py:64-79.
+    """
+    kh, kw, mult, c = w_dw.shape
+    if (kh, kw, mult) != (3, 3, 1) or c != x.shape[-1]:
+        raise ValueError(f"ds_conv3x3_pw_pallas needs (3,3,1,C) dw weights, got {w_dw.shape}")
+    if w_pw.shape[:2] != (1, 1) or w_pw.shape[2] != c:
+        raise ValueError(f"pw weights must be (1,1,{c},Cout), got {w_pw.shape}")
+    if stride not in (1, 2):
+        raise ValueError(f"stride must be 1 or 2, got {stride}")
+    cout = w_pw.shape[3]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if not (use_pallas or interpret):
+        y = _xla_fallback(x, w_dw, b_dw, stride, padding, relu=True)
+        return jax.nn.relu(
+            jnp.tensordot(y, w_pw.reshape(c, cout).astype(y.dtype), axes=((3,), (0,)))
+            + b_pw.astype(y.dtype)
+        )
+
+    from jax.experimental import pallas as pl
+
+    n, h, wd, _ = x.shape
+    ho, wo = _out_len(h, 3, stride, padding), _out_len(wd, 3, stride, padding)
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    wp = wd + 2 * padding
+    w9 = w_dw.astype(jnp.float32).reshape(9, c)
+    bd = b_dw.astype(jnp.float32).reshape(1, c)
+    wpw = w_pw.reshape(c, cout).astype(x.dtype)
+    bp = b_pw.astype(jnp.float32).reshape(1, cout)
+
+    def kernel(r0_ref, r1_ref, r2_ref, w_ref, bd_ref, wpw_ref, bp_ref, out_ref):
+        rows = (r0_ref, r1_ref, r2_ref)
+        acc = jnp.broadcast_to(bd_ref[0, :], (wo, c)).astype(jnp.float32)
+        for di in range(3):
+            row = rows[di][0, 0].astype(jnp.float32)  # (Wp, C)
+            for dj in range(3):
+                seg = jax.lax.slice(
+                    row, (dj, 0), (dj + (wo - 1) * stride + 1, c), (stride, 1)
+                )
+                acc = acc + seg * w_ref[di * 3 + dj, :]
+        mid = jnp.maximum(acc, 0.0).astype(out_ref.dtype)  # the dw activation
+        z = jnp.dot(mid, wpw_ref[:], preferred_element_type=jnp.float32)
+        z = jnp.maximum(z + bp_ref[0, :], 0.0)
+        out_ref[0, 0] = z.astype(out_ref.dtype)
+
+    grid = (n, ho)
+    row_spec = lambda di: pl.BlockSpec(
+        (1, 1, wp, c), lambda i, j, di=di: (i, stride * j + di, 0, 0)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(0),
+            row_spec(1),
+            row_spec(2),
+            pl.BlockSpec((9, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, cout), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, wo, cout), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), x.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, w9, bd, wpw, bp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

@@ -546,3 +546,46 @@ def test_stem_impl_pallas_model_grads_match(rng):
         assert rel < 1e-9, rel
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_ds_conv_fused_pallas_interpret_matches_unfused(rng):
+    """The one-kernel DSConv (dw+bias+ReLU+pw+bias+ReLU) must match the
+    unfused folded composition, interpreted kernel body and XLA fallback."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d
+    from fastscnn_tpu.ops.pallas.dw_conv import ds_conv3x3_pw_pallas
+
+    for c, cout, stride in ((32, 48, 2), (48, 64, 2), (128, 128, 1)):
+        x = jnp.asarray(rng.standard_normal((2, 13, 17, c)), jnp.float32)
+        w_dw = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.2, jnp.float32)
+        b_dw = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        w_pw = jnp.asarray(rng.standard_normal((1, 1, c, cout)) * 0.2, jnp.float32)
+        b_pw = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+        mid = jax.nn.relu(conv2d(x, w_dw, b_dw, stride=stride, padding=1, groups=c))
+        ref = jax.nn.relu(conv2d(mid, w_pw, b_pw))
+        got = ds_conv3x3_pw_pallas(x, w_dw, b_dw, w_pw, b_pw, stride=stride, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5,
+            err_msg=f"C={c}->{cout} s={stride}",
+        )
+        fb = ds_conv3x3_pw_pallas(x, w_dw, b_dw, w_pw, b_pw, stride=stride, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(fb), rtol=1e-6, atol=1e-6)
+
+
+def test_folded_dw_impl_fused_ds_same_mask(rng):
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(1), 6)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    masks = {}
+    for impl in ("conv", "fused-ds"):
+        model = FastSCNN(num_classes=6, folded_dw_impl=impl)
+        eng = InferenceEngine(
+            model, params, state, config=E2EConfig(compute_dtype="float32")
+        )
+        masks[impl] = np.asarray(eng.predict(x))
+    np.testing.assert_array_equal(masks["conv"], masks["fused-ds"])
