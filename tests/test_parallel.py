@@ -268,3 +268,29 @@ def test_make_mesh_validates_divisibility():
         make_mesh(n_space=3)  # 8 virtual devices % 3 != 0
     with pytest.raises(ValueError, match="empty mesh"):
         make_mesh(n_data=0, n_space=2)
+
+
+@pytest.mark.parametrize("impl", ["tapbwd", "taps", "pallas"])
+def test_train_step_dp_mesh_stem_variants(setup, rng, impl):
+    """Every stem_impl must compose with the sharded train step (custom
+    VJPs + strided-slice formulations under GSPMD + grad-accum scan):
+    one dp-mesh step, finite loss, and the same loss as stem_impl='xla'
+    on the identical batch (f32 reassociation tolerance)."""
+    _, optimizer, _ = setup
+    mesh = make_mesh(n_data=8)
+    loss_fn = get_loss_fn("ce", aux=True, num_classes=5)
+    images, targets = _batch(rng)
+
+    losses = {}
+    for stem in ("xla", impl):
+        model = FastSCNN(num_classes=5, aux=True, stem_impl=stem)
+        state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
+        step = make_train_step(
+            model, loss_fn, optimizer, mesh=mesh, compute_dtype=jnp.float32,
+            grad_accum=2,
+        )
+        state, metrics = step(state, images, targets, jax.random.PRNGKey(0))
+        losses[stem] = float(metrics["loss"])
+        assert np.isfinite(losses[stem])
+        assert int(state.step) == 1
+    assert abs(losses["xla"] - losses[impl]) < 1e-5, losses
