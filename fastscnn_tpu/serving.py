@@ -413,6 +413,11 @@ def main(argv=None):
                         help="mask upsample formulation (engine.E2EConfig); "
                         "'argmax-first' is the opt-in fast mode (+22% fps, "
                         "mask boundaries quantize to the 8-px grid)")
+    parser.add_argument("--folded-dw-impl", type=str, default="conv",
+                        choices=["conv", "taps", "pallas", "fused-ds"],
+                        help="LTD depthwise-conv impl in the folded serving "
+                        "graph (models.FastSCNN.folded_dw_impl; identical "
+                        "masks, A/B candidates — docs/PERFORMANCE.md)")
     args = parser.parse_args(argv)
 
     import jax
@@ -433,7 +438,8 @@ def main(argv=None):
         mesh = Mesh(np.asarray(devices), ("data",))
 
     num_classes = DATASET_NUM_CLASSES[args.dataset]
-    model = FastSCNN(num_classes=num_classes, aux=args.aux)
+    model = FastSCNN(num_classes=num_classes, aux=args.aux,
+                     folded_dw_impl=args.folded_dw_impl)
     if args.weights:
         params, state = load_pth_checkpoint(args.weights, num_classes, aux=args.aux or None)
     else:
