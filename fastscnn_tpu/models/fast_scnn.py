@@ -365,12 +365,21 @@ class FastSCNN:
             return dw_conv3x3_pallas(y, p["w"], p["b"], stride=stride, padding=1, relu=True)
 
         def ds(p, y, stride=1, dw_alt=False):
-            if self.folded_dw_impl == "fused-ds" and dw_alt:
+            if self.folded_dw_impl in ("fused-ds", "fused-ds-mr") and dw_alt:
                 # whole DSConv in one kernel: the dw intermediate never
-                # touches HBM (ops/pallas/dw_conv.py::ds_conv3x3_pw_pallas)
-                from fastscnn_tpu.ops.pallas.dw_conv import ds_conv3x3_pw_pallas
+                # touches HBM; '-mr' = multi-row double-buffered manual-DMA
+                # variant (~1.06× input re-read vs the row kernel's 1.5×)
+                from fastscnn_tpu.ops.pallas.dw_conv import (
+                    ds_conv3x3_pw_pallas,
+                    ds_conv3x3_pw_pallas_multirow,
+                )
 
-                return ds_conv3x3_pw_pallas(
+                fn = (
+                    ds_conv3x3_pw_pallas
+                    if self.folded_dw_impl == "fused-ds"
+                    else ds_conv3x3_pw_pallas_multirow
+                )
+                return fn(
                     y, p["dw"]["w"], p["dw"]["b"], p["pw"]["w"], p["pw"]["b"],
                     stride=stride, padding=1,
                 )
@@ -392,7 +401,7 @@ class FastSCNN:
         size = (x.shape[1], x.shape[2])
         p = fparams
         # LTD
-        dw_alt = self.folded_dw_impl in ("taps", "pallas", "fused-ds")
+        dw_alt = self.folded_dw_impl in ("taps", "pallas", "fused-ds", "fused-ds-mr")
         y = cbr(p["learning_to_downsample"]["conv"], x, stride=2)
         y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_alt=dw_alt)
         higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_alt=dw_alt)

@@ -31,7 +31,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dw_conv3x3_pallas", "dw_conv3x3_pallas_vjp", "ds_conv3x3_pw_pallas"]
+__all__ = [
+    "dw_conv3x3_pallas",
+    "dw_conv3x3_pallas_vjp",
+    "ds_conv3x3_pw_pallas",
+    "ds_conv3x3_pw_pallas_multirow",
+]
 
 
 def _out_len(size: int, k: int, stride: int, padding: int) -> int:
@@ -203,6 +208,146 @@ def ds_conv3x3_pw_pallas(
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), x.dtype),
         interpret=interpret,
     )(xp, xp, xp, w9, bd, wpw, bp)
+
+
+def ds_conv3x3_pw_pallas_multirow(
+    x: jnp.ndarray,
+    w_dw: jnp.ndarray,
+    b_dw: jnp.ndarray,
+    w_pw: jnp.ndarray,
+    b_pw: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 1,
+    rows_per_step: int = 8,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-row, double-buffered variant of :func:`ds_conv3x3_pw_pallas`.
+
+    The single-row kernel re-fetches overlapping input rows (stride 2:
+    1.5× input reads; stride 1: 3×) because BlockSpec blocks cannot
+    overlap. Here the input stays in HBM and the kernel DMAs
+    ``(rows_per_step−1)·stride + 3`` input rows per block into a
+    two-slot VMEM buffer (prefetching block b+1 during block b — the
+    guide's double-buffer pattern), cutting the re-read to
+    ~(2B+1)/(2B); the (B, Wo, Cout) output block streams back to HBM
+    through a second two-slot buffer. One grid step per image.
+
+    Falls back to the single-row kernel when ``rows_per_step`` does not
+    divide the output height (every production shape here is a power of
+    two × the B=8 default).
+    """
+    kh, kw, mult, c = w_dw.shape
+    if (kh, kw, mult) != (3, 3, 1) or c != x.shape[-1]:
+        raise ValueError(f"needs (3,3,1,C) dw weights, got {w_dw.shape}")
+    if stride not in (1, 2):
+        raise ValueError(f"stride must be 1 or 2, got {stride}")
+    cout = w_pw.shape[3]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    n, h, wd, _ = x.shape
+    ho, wo = _out_len(h, 3, stride, padding), _out_len(wd, 3, stride, padding)
+    bb = int(rows_per_step)
+    if not (use_pallas or interpret) or bb <= 1 or ho % bb:
+        return ds_conv3x3_pw_pallas(
+            x, w_dw, b_dw, w_pw, b_pw, stride=stride, padding=padding,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    wp = wd + 2 * padding
+    rows_in = (bb - 1) * stride + 3
+    nblk = ho // bb
+    w9 = w_dw.astype(jnp.float32).reshape(9, c)
+    bd = b_dw.astype(jnp.float32).reshape(1, c)
+    wpw = w_pw.reshape(c, cout).astype(x.dtype)
+    bp = b_pw.astype(jnp.float32).reshape(1, cout)
+
+    def kernel(x_hbm, w_ref, bd_ref, wpw_ref, bp_ref, out_hbm):
+        i = pl.program_id(0)
+
+        def body(x_buf, y_buf, in_sem, out_sem):
+            def in_dma(slot, b):
+                return pltpu.make_async_copy(
+                    x_hbm.at[i, pl.ds(b * bb * stride, rows_in), :, :],
+                    x_buf.at[slot],
+                    in_sem.at[slot],
+                )
+
+            def out_dma(slot, b):
+                return pltpu.make_async_copy(
+                    y_buf.at[slot],
+                    out_hbm.at[i, pl.ds(b * bb, bb), :, :],
+                    out_sem.at[slot],
+                )
+
+            in_dma(0, 0).start()
+
+            def loop(b, _):
+                slot = b % 2
+
+                @pl.when(b + 1 < nblk)
+                def _():
+                    in_dma((b + 1) % 2, b + 1).start()
+
+                in_dma(slot, b).wait()
+                acc = jnp.broadcast_to(bd_ref[0, :], (bb, wo, c)).astype(jnp.float32)
+                tile = x_buf[slot].astype(jnp.float32)  # (rows_in, Wp, C)
+                for di in range(3):
+                    for dj in range(3):
+                        seg = jax.lax.slice(
+                            tile,
+                            (di, dj, 0),
+                            (di + (bb - 1) * stride + 1, dj + (wo - 1) * stride + 1, c),
+                            (stride, stride, 1),
+                        )  # (bb, Wo, C)
+                        acc = acc + seg * w_ref[di * 3 + dj, :]
+                mid = jnp.maximum(acc, 0.0).astype(y_buf.dtype).reshape(bb * wo, c)
+                z = jnp.dot(mid, wpw_ref[:], preferred_element_type=jnp.float32)
+                z = jnp.maximum(z + bp_ref[0, :], 0.0)
+
+                # the slot's previous output DMA must land before overwrite
+                @pl.when(b >= 2)
+                def _():
+                    out_dma(slot, b - 2).wait()
+
+                y_buf[slot] = z.astype(y_buf.dtype).reshape(bb, wo, cout)
+                out_dma(slot, b).start()
+                return _
+
+            jax.lax.fori_loop(0, nblk, loop, None)
+            # drain the last (up to) two in-flight output DMAs
+            @pl.when(nblk >= 2)
+            def _():
+                out_dma((nblk - 2) % 2, nblk - 2).wait()
+
+            out_dma((nblk - 1) % 2, nblk - 1).wait()
+
+        pl.run_scoped(
+            body,
+            x_buf=pltpu.VMEM((2, rows_in, wp, c), x.dtype),
+            y_buf=pltpu.VMEM((2, bb, wo, cout), x.dtype),
+            in_sem=pltpu.SemaphoreType.DMA((2,)),
+            out_sem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, cout), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), x.dtype),
+        interpret=interpret,
+    )(xp, w9, bd, wpw, bp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

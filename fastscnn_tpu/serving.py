@@ -414,7 +414,7 @@ def main(argv=None):
                         "'argmax-first' is the opt-in fast mode (+22% fps, "
                         "mask boundaries quantize to the 8-px grid)")
     parser.add_argument("--folded-dw-impl", type=str, default="conv",
-                        choices=["conv", "taps", "pallas", "fused-ds"],
+                        choices=["conv", "taps", "pallas", "fused-ds", "fused-ds-mr"],
                         help="LTD depthwise-conv impl in the folded serving "
                         "graph (models.FastSCNN.folded_dw_impl; identical "
                         "masks, A/B candidates — docs/PERFORMANCE.md)")

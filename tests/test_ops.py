@@ -589,3 +589,52 @@ def test_folded_dw_impl_fused_ds_same_mask(rng):
         )
         masks[impl] = np.asarray(eng.predict(x))
     np.testing.assert_array_equal(masks["conv"], masks["fused-ds"])
+
+
+def test_ds_conv_fused_multirow_matches_unfused(rng):
+    """Multi-row double-buffered fused DSConv (manual DMA, interpreted) ==
+    unfused composition; non-divisible heights take the single-row
+    fallback transparently."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d
+    from fastscnn_tpu.ops.pallas.dw_conv import ds_conv3x3_pw_pallas_multirow
+
+    for c, cout, stride, hw, b in (
+        (32, 48, 2, (32, 20), 4),
+        (48, 64, 2, (16, 12), 4),
+        (32, 48, 1, (16, 12), 4),
+        (32, 48, 2, (18, 12), 4),  # Ho=9 % 4 != 0 → fallback path
+    ):
+        x = jnp.asarray(rng.standard_normal((2, *hw, c)), jnp.float32)
+        w_dw = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.2, jnp.float32)
+        b_dw = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        w_pw = jnp.asarray(rng.standard_normal((1, 1, c, cout)) * 0.2, jnp.float32)
+        b_pw = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+        mid = jax.nn.relu(conv2d(x, w_dw, b_dw, stride=stride, padding=1, groups=c))
+        ref = jax.nn.relu(conv2d(mid, w_pw, b_pw))
+        got = ds_conv3x3_pw_pallas_multirow(
+            x, w_dw, b_dw, w_pw, b_pw, stride=stride, rows_per_step=b, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5,
+            err_msg=f"C={c}->{cout} s={stride} hw={hw} B={b}",
+        )
+
+
+def test_folded_dw_impl_fused_ds_mr_same_mask(rng):
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(1), 6)
+    x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
+    masks = {}
+    for impl in ("conv", "fused-ds-mr"):
+        model = FastSCNN(num_classes=6, folded_dw_impl=impl)
+        eng = InferenceEngine(
+            model, params, state, config=E2EConfig(compute_dtype="float32")
+        )
+        masks[impl] = np.asarray(eng.predict(x))
+    np.testing.assert_array_equal(masks["conv"], masks["fused-ds-mr"])

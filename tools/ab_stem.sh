@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.."
 
 echo "== serving: folded dw impl (batch 128, 1024x2048 bf16) =="
 for rep in 1 2; do
-  for impl in conv taps pallas fused-ds; do
+  for impl in conv taps pallas fused-ds fused-ds-mr; do
     echo "--- rep $rep dw_impl=$impl"
     BENCH_DW_IMPL=$impl BENCH_BATCHES=128 BENCH_TRIALS=3 timeout 1200 python bench.py
   done
