@@ -286,24 +286,27 @@ def ds_conv3x3_pw_pallas_multirow(
 
             in_dma(0, 0).start()
 
-            def loop(b, _):
+            def loop(b, carry):
                 slot = b % 2
 
                 @pl.when(b + 1 < nblk)
-                def _():
+                def _prefetch():
                     in_dma((b + 1) % 2, b + 1).start()
 
                 in_dma(slot, b).wait()
+                tile = x_buf[slot]  # (rows_in, Wp, C), input dtype
                 acc = jnp.broadcast_to(bd_ref[0, :], (bb, wo, c)).astype(jnp.float32)
-                tile = x_buf[slot].astype(jnp.float32)  # (rows_in, Wp, C)
                 for di in range(3):
                     for dj in range(3):
+                        # slice in the input dtype, convert per-tap: an
+                        # up-front f32 copy of the whole tile would double
+                        # the buffer's VMEM footprint
                         seg = jax.lax.slice(
                             tile,
                             (di, dj, 0),
                             (di + (bb - 1) * stride + 1, dj + (wo - 1) * stride + 1, c),
                             (stride, stride, 1),
-                        )  # (bb, Wo, C)
+                        ).astype(jnp.float32)  # (bb, Wo, C)
                         acc = acc + seg * w_ref[di * 3 + dj, :]
                 mid = jnp.maximum(acc, 0.0).astype(y_buf.dtype).reshape(bb * wo, c)
                 z = jnp.dot(mid, wpw_ref[:], preferred_element_type=jnp.float32)
@@ -311,17 +314,18 @@ def ds_conv3x3_pw_pallas_multirow(
 
                 # the slot's previous output DMA must land before overwrite
                 @pl.when(b >= 2)
-                def _():
+                def _drain_prev():
                     out_dma(slot, b - 2).wait()
 
                 y_buf[slot] = z.astype(y_buf.dtype).reshape(bb, wo, cout)
                 out_dma(slot, b).start()
-                return _
+                return carry
 
             jax.lax.fori_loop(0, nblk, loop, None)
+
             # drain the last (up to) two in-flight output DMAs
             @pl.when(nblk >= 2)
-            def _():
+            def _drain_tail():
                 out_dma((nblk - 2) % 2, nblk - 2).wait()
 
             out_dma((nblk - 1) % 2, nblk - 1).wait()
