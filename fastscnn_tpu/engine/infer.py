@@ -119,6 +119,19 @@ class InferenceEngine:
         self.model = model
         self.config = config
         self.mesh = mesh
+        if mesh is not None and getattr(model, "folded_dw_impl", "conv") in (
+            "pallas", "fused-ds", "fused-ds-mr",
+        ):
+            # pallas_call lowers to a custom call with no GSPMD partition
+            # rule: under a sharded batch XLA would replicate it (silent
+            # all-gather of the batch — the exact failure mode the
+            # grad-accum mesh work documented). Batch-shard via shard_map
+            # is the clean future extension; until then fail loudly.
+            raise ValueError(
+                f"folded_dw_impl={model.folded_dw_impl!r} (a Pallas kernel) "
+                "does not partition under a mesh; use 'conv' or 'taps' for "
+                "sharded serving"
+            )
         dtype = jnp.dtype(config.compute_dtype)
         self.folded = fold_inference_params(params, state, dtype=dtype)
         if mesh is not None:

@@ -638,3 +638,26 @@ def test_folded_dw_impl_fused_ds_mr_same_mask(rng):
         )
         masks[impl] = np.asarray(eng.predict(x))
     np.testing.assert_array_equal(masks["conv"], masks["fused-ds-mr"])
+
+
+def test_engine_mesh_rejects_pallas_dw_impl(rng):
+    """Pallas folded_dw_impl + mesh must fail loudly (no GSPMD partition
+    rule for the custom call — a silent batch all-gather otherwise)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 3)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    with pytest.raises(ValueError, match="does not partition"):
+        InferenceEngine(
+            FastSCNN(num_classes=3, folded_dw_impl="fused-ds"),
+            params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh,
+        )
+    # 'taps' is pure XLA and stays mesh-legal
+    InferenceEngine(
+        FastSCNN(num_classes=3, folded_dw_impl="taps"),
+        params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh,
+    )
