@@ -132,6 +132,12 @@ class InferenceEngine:
                 "does not partition under a mesh; use 'conv' or 'taps' for "
                 "sharded serving"
             )
+        if mesh is not None and config.final_upsample in ("pallas", "hybrid-pallas"):
+            raise ValueError(
+                f"final_upsample={config.final_upsample!r} (a Pallas kernel) "
+                "does not partition under a mesh; use 'hybrid' or 'matmul' "
+                "for sharded serving"
+            )
         dtype = jnp.dtype(config.compute_dtype)
         self.folded = fold_inference_params(params, state, dtype=dtype)
         if mesh is not None:

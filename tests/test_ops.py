@@ -661,3 +661,20 @@ def test_engine_mesh_rejects_pallas_dw_impl(rng):
         FastSCNN(num_classes=3, folded_dw_impl="taps"),
         params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh,
     )
+
+
+def test_engine_mesh_rejects_pallas_final_upsample(rng):
+    import jax
+    from jax.sharding import Mesh
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 3)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    with pytest.raises(ValueError, match="does not partition"):
+        InferenceEngine(
+            FastSCNN(num_classes=3), params, state,
+            config=E2EConfig(compute_dtype="float32", final_upsample="hybrid-pallas"),
+            mesh=mesh,
+        )
