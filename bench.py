@@ -92,6 +92,7 @@ def main():
                 "unit": "fps/chip",
                 "vs_baseline": round(best_fps / 1000.0, 3),
                 "batch": best_batch,
+                "dw_impl": os.environ.get("BENCH_DW_IMPL", "conv"),
             }
         )
     )
