@@ -1,4 +1,4 @@
-"""Depthwise 3×3 conv Pallas kernel for the small-C stem.
+"""Depthwise 3×3 conv Pallas kernels for the small-C stem.
 
 Why: the LTD stem's stride-2 depthwise convs are the serving graph's #1
 op (11.1 ms/iter at 169 GB/s, batch 128 — docs/PERFORMANCE.md round-2
@@ -7,18 +7,35 @@ XLA's depthwise path for these C ∈ {32, 48} shapes runs well below HBM
 bandwidth; the op itself is trivially bandwidth-bound (9 FMAs per output
 element).
 
-Formulation: one grid step per (image, output row). The three input rows
-an output row needs arrive as three BlockSpec views of the same padded
-tensor (block size 1 in H makes the index maps element-granular, so no
-halo machinery is needed); each of the 9 taps is a strided sublane slice
-times a per-channel scalar, accumulated in f32 on the VPU. Lanes carry C
-(padded to 128 in VMEM — a capacity/ALU cost, not an HBM one: the DMA
-moves only real bytes). Bias-add and ReLU fuse into the same kernel for
-the folded serving graph (conv+bias+ReLU is one HBM round trip).
+Formulation: one grid step per (image, output row) — or per image with a
+double-buffered manual-DMA row-block loop in the multirow variant. The
+three input rows an output row needs arrive as three BlockSpec views of
+the same padded tensor (block size 1 in H makes the index maps
+element-granular, so no halo machinery is needed). Lanes carry C (padded
+to 128 in VMEM — a capacity/ALU cost, not an HBM one: the DMA moves only
+real bytes). Bias-add and ReLU fuse into the same kernel for the folded
+serving graph.
+
+Stride-2 column taps — the Mosaic constraint that shaped this file:
+``vector.extract_strided_slice`` only allows stride-1 slices (verified
+by cross-platform ``jax.export`` lowering, which caught the naive
+strided-slice formulation before any hardware run). So for stride 2 the
+padded input is reshaped at the XLA level to pair-merged lanes
+``(…, Wp/2, 2C)`` — bitwise free, row-major — and each di contributes
+two pairwise FMAs with concatenated weight vectors:
+
+    acc2[k, 0:2C] += x2[k]   · [w(di,0,·), w(di,1,·)]   (taps dj=0,1)
+    acc2[k, 0:2C] += x2[k+1] · [w(di,2,·), 0]           (tap  dj=2)
+
+followed by ONE static lane fold ``acc = acc2[:, :C] + acc2[:, C:]`` —
+all unit-stride slices. Integer indexing is avoided throughout (Mosaic
+lowers it as an unsupported 1-D gather); everything is
+slice-with-keepdims.
 
 Semantics match ``ops.conv.conv2d(..., groups=C)`` exactly up to f32
 accumulation order (the conv op also accumulates f32 internally); parity
-is pinned by tests in interpret mode and against the XLA fallback.
+is pinned by interpret-mode tests, the XLA fallback, and TPU-target
+export lowering tests.
 
 Reference mapping: the dw halves of reference:models/fast_scnn.py:64-79
 (_DSConv) and :148-161 (LearningToDownsample).
@@ -48,6 +65,58 @@ def _xla_fallback(x, w, b, stride, padding, relu):
 
     y = conv2d(x, w, b, stride=stride, padding=padding, groups=x.shape[-1])
     return jax.nn.relu(y) if relu else y
+
+
+def _pad_input(x, padding, stride):
+    """Spatially pad; for stride 2 additionally pad W to even and return
+    the pair-merged view (N, Hp, Wp/2, 2C) — a bitwise-free reshape."""
+    n, h, wd, c = x.shape
+    wp = wd + 2 * padding
+    extra = (wp % 2) if stride == 2 else 0
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding + extra), (0, 0)))
+    if stride == 2:
+        return xp.reshape(n, h + 2 * padding, (wp + extra) // 2, 2 * c), (wp + extra) // 2
+    return xp, wp
+
+
+def _pair_weights(w, dtype=jnp.float32):
+    """(3,3,1,C) → (w01 (3, 2C), w2 (3, 2C)): per-di concatenated tap
+    vectors for the pair-merged stride-2 formulation."""
+    c = w.shape[-1]
+    wf = w.astype(dtype).reshape(3, 3, c)
+    w01 = jnp.concatenate([wf[:, 0, :], wf[:, 1, :]], axis=-1)  # (3, 2C)
+    w2 = jnp.concatenate([wf[:, 2, :], jnp.zeros((3, c), dtype)], axis=-1)
+    return w01, w2
+
+
+def _dw_rows_accum(rows_fn, w01_ref, w2_ref, w9_ref, stride, wo, c, row_offset=0):
+    """Accumulate the 9 taps for one output row (or row-block slice).
+
+    ``rows_fn(di)`` must return the di-th input row as a 2-D (Wcols, L)
+    array — L = 2C pair-merged for stride 2, L = C for stride 1. Returns
+    the folded (wo, c) f32 accumulator contribution.
+    """
+    if stride == 2:
+        acc2 = None
+        for di in range(3):
+            row2 = rows_fn(di)  # (wp2, 2C) f32
+            a = jax.lax.slice(row2, (row_offset, 0), (row_offset + wo, 2 * c))
+            b = jax.lax.slice(row2, (row_offset + 1, 0), (row_offset + wo + 1, 2 * c))
+            term = a * jax.lax.slice(w01_ref[:], (di, 0), (di + 1, 2 * c)) + b * jax.lax.slice(
+                w2_ref[:], (di, 0), (di + 1, 2 * c)
+            )
+            acc2 = term if acc2 is None else acc2 + term
+        return jax.lax.slice(acc2, (0, 0), (wo, c)) + jax.lax.slice(
+            acc2, (0, c), (wo, 2 * c)
+        )
+    acc = None
+    for di in range(3):
+        row = rows_fn(di)  # (wp, C) f32
+        for dj in range(3):
+            seg = jax.lax.slice(row, (row_offset + dj, 0), (row_offset + dj + wo, c))
+            term = seg * jax.lax.slice(w9_ref[:], (di * 3 + dj, 0), (di * 3 + dj + 1, c))
+            acc = term if acc is None else acc + term
+    return acc
 
 
 def dw_conv3x3_pallas(
@@ -81,28 +150,27 @@ def dw_conv3x3_pallas(
 
     n, h, wd, _ = x.shape
     ho, wo = _out_len(h, 3, stride, padding), _out_len(wd, 3, stride, padding)
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-    wp = wd + 2 * padding
+    xp, wcols = _pad_input(x, padding, stride)
+    lanes = 2 * c if stride == 2 else c
+    w01, w2 = _pair_weights(w)
     w9 = w.astype(jnp.float32).reshape(9, c)
     bias = jnp.zeros((1, c), jnp.float32) if b is None else b.astype(jnp.float32).reshape(1, c)
 
-    def kernel(r0_ref, r1_ref, r2_ref, w_ref, b_ref, out_ref):
+    def kernel(r0_ref, r1_ref, r2_ref, w01_ref, w2_ref, w9_ref, b_ref, out_ref):
         rows = (r0_ref, r1_ref, r2_ref)
-        acc = jnp.broadcast_to(b_ref[0, :], (wo, c)).astype(jnp.float32)
-        for di in range(3):
-            row = rows[di][0, 0].astype(jnp.float32)  # (Wp, C)
-            for dj in range(3):
-                seg = jax.lax.slice(
-                    row, (dj, 0), (dj + (wo - 1) * stride + 1, c), (stride, 1)
-                )  # (Wo, C)
-                acc = acc + seg * w_ref[di * 3 + dj, :]
+
+        def row_of(di):
+            return rows[di][0, 0].astype(jnp.float32)
+
+        acc = _dw_rows_accum(row_of, w01_ref, w2_ref, w9_ref, stride, wo, c)
+        acc = acc + b_ref[0:1, :]
         if relu:
             acc = jnp.maximum(acc, 0.0)
         out_ref[0, 0] = acc.astype(out_ref.dtype)
 
     grid = (n, ho)
     row_spec = lambda di: pl.BlockSpec(
-        (1, 1, wp, c), lambda i, j, di=di: (i, stride * j + di, 0, 0)
+        (1, 1, wcols, lanes), lambda i, j, di=di: (i, stride * j + di, 0, 0)
     )
     return pl.pallas_call(
         kernel,
@@ -111,13 +179,15 @@ def dw_conv3x3_pallas(
             row_spec(0),
             row_spec(1),
             row_spec(2),
+            pl.BlockSpec((3, 2 * c), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, 2 * c), lambda i, j: (0, 0)),
             pl.BlockSpec((9, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, wo, c), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
         interpret=interpret,
-    )(xp, xp, xp, w9, bias)
+    )(xp, xp, xp, w01, w2, w9, bias)
 
 
 def ds_conv3x3_pw_pallas(
@@ -166,31 +236,30 @@ def ds_conv3x3_pw_pallas(
 
     n, h, wd, _ = x.shape
     ho, wo = _out_len(h, 3, stride, padding), _out_len(wd, 3, stride, padding)
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-    wp = wd + 2 * padding
+    xp, wcols = _pad_input(x, padding, stride)
+    lanes = 2 * c if stride == 2 else c
+    w01, w2 = _pair_weights(w_dw)
     w9 = w_dw.astype(jnp.float32).reshape(9, c)
     bd = b_dw.astype(jnp.float32).reshape(1, c)
     wpw = w_pw.reshape(c, cout).astype(x.dtype)
     bp = b_pw.astype(jnp.float32).reshape(1, cout)
 
-    def kernel(r0_ref, r1_ref, r2_ref, w_ref, bd_ref, wpw_ref, bp_ref, out_ref):
+    def kernel(r0_ref, r1_ref, r2_ref, w01_ref, w2_ref, w9_ref, bd_ref, wpw_ref, bp_ref, out_ref):
         rows = (r0_ref, r1_ref, r2_ref)
-        acc = jnp.broadcast_to(bd_ref[0, :], (wo, c)).astype(jnp.float32)
-        for di in range(3):
-            row = rows[di][0, 0].astype(jnp.float32)  # (Wp, C)
-            for dj in range(3):
-                seg = jax.lax.slice(
-                    row, (dj, 0), (dj + (wo - 1) * stride + 1, c), (stride, 1)
-                )
-                acc = acc + seg * w_ref[di * 3 + dj, :]
+
+        def row_of(di):
+            return rows[di][0, 0].astype(jnp.float32)
+
+        acc = _dw_rows_accum(row_of, w01_ref, w2_ref, w9_ref, stride, wo, c)
+        acc = acc + bd_ref[0:1, :]
         mid = jnp.maximum(acc, 0.0).astype(out_ref.dtype)  # the dw activation
         z = jnp.dot(mid, wpw_ref[:], preferred_element_type=jnp.float32)
-        z = jnp.maximum(z + bp_ref[0, :], 0.0)
+        z = jnp.maximum(z + bp_ref[0:1, :], 0.0)
         out_ref[0, 0] = z.astype(out_ref.dtype)
 
     grid = (n, ho)
     row_spec = lambda di: pl.BlockSpec(
-        (1, 1, wp, c), lambda i, j, di=di: (i, stride * j + di, 0, 0)
+        (1, 1, wcols, lanes), lambda i, j, di=di: (i, stride * j + di, 0, 0)
     )
     return pl.pallas_call(
         kernel,
@@ -199,6 +268,8 @@ def ds_conv3x3_pw_pallas(
             row_spec(0),
             row_spec(1),
             row_spec(2),
+            pl.BlockSpec((3, 2 * c), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, 2 * c), lambda i, j: (0, 0)),
             pl.BlockSpec((9, c), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, j: (0, 0)),
             pl.BlockSpec((c, cout), lambda i, j: (0, 0)),
@@ -207,7 +278,7 @@ def ds_conv3x3_pw_pallas(
         out_specs=pl.BlockSpec((1, 1, wo, cout), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), x.dtype),
         interpret=interpret,
-    )(xp, xp, xp, w9, bd, wpw, bp)
+    )(xp, xp, xp, w01, w2, w9, bd, wpw, bp)
 
 
 def ds_conv3x3_pw_pallas_multirow(
@@ -231,7 +302,9 @@ def ds_conv3x3_pw_pallas_multirow(
     two-slot VMEM buffer (prefetching block b+1 during block b — the
     guide's double-buffer pattern), cutting the re-read to
     ~(2B+1)/(2B); the (B, Wo, Cout) output block streams back to HBM
-    through a second two-slot buffer. One grid step per image.
+    through a second two-slot buffer. One grid step per image; the B
+    output rows of a block are unrolled statically (Mosaic rejects
+    strided row slices — see the module docstring).
 
     Falls back to the single-row kernel when ``rows_per_step`` does not
     divide the output height (every production shape here is a power of
@@ -257,16 +330,17 @@ def ds_conv3x3_pw_pallas_multirow(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-    wp = wd + 2 * padding
+    xp, wcols = _pad_input(x, padding, stride)
+    lanes = 2 * c if stride == 2 else c
     rows_in = (bb - 1) * stride + 3
     nblk = ho // bb
+    w01, w2 = _pair_weights(w_dw)
     w9 = w_dw.astype(jnp.float32).reshape(9, c)
     bd = b_dw.astype(jnp.float32).reshape(1, c)
     wpw = w_pw.reshape(c, cout).astype(x.dtype)
     bp = b_pw.astype(jnp.float32).reshape(1, cout)
 
-    def kernel(x_hbm, w_ref, bd_ref, wpw_ref, bp_ref, out_hbm):
+    def kernel(x_hbm, w01_ref, w2_ref, w9_ref, bd_ref, wpw_ref, bp_ref, out_hbm):
         i = pl.program_id(0)
 
         def body(x_buf, y_buf, in_sem, out_sem):
@@ -294,30 +368,26 @@ def ds_conv3x3_pw_pallas_multirow(
                     in_dma((b + 1) % 2, b + 1).start()
 
                 in_dma(slot, b).wait()
-                tile = x_buf[slot]  # (rows_in, Wp, C), input dtype
-                acc = jnp.broadcast_to(bd_ref[0, :], (bb, wo, c)).astype(jnp.float32)
-                for di in range(3):
-                    for dj in range(3):
-                        # slice in the input dtype, convert per-tap: an
-                        # up-front f32 copy of the whole tile would double
-                        # the buffer's VMEM footprint
-                        seg = jax.lax.slice(
-                            tile,
-                            (di, dj, 0),
-                            (di + (bb - 1) * stride + 1, dj + (wo - 1) * stride + 1, c),
-                            (stride, stride, 1),
-                        ).astype(jnp.float32)  # (bb, Wo, C)
-                        acc = acc + seg * w_ref[di * 3 + dj, :]
-                mid = jnp.maximum(acc, 0.0).astype(y_buf.dtype).reshape(bb * wo, c)
-                z = jnp.dot(mid, wpw_ref[:], preferred_element_type=jnp.float32)
-                z = jnp.maximum(z + bp_ref[0, :], 0.0)
 
                 # the slot's previous output DMA must land before overwrite
                 @pl.when(b >= 2)
                 def _drain_prev():
                     out_dma(slot, b - 2).wait()
 
-                y_buf[slot] = z.astype(y_buf.dtype).reshape(bb, wo, cout)
+                # B output rows, statically unrolled; all row selections
+                # are unit-stride slices of the (rows_in, Wcols, L) tile.
+                for k in range(bb):
+                    def row_of(di, k=k):
+                        r0 = stride * k + di
+                        return x_buf[slot, r0:r0 + 1].astype(jnp.float32)[0]
+
+                    acc = _dw_rows_accum(row_of, w01_ref, w2_ref, w9_ref, stride, wo, c)
+                    acc = acc + bd_ref[0:1, :]
+                    mid = jnp.maximum(acc, 0.0).astype(y_buf.dtype)
+                    z = jnp.dot(mid, wpw_ref[:], preferred_element_type=jnp.float32)
+                    z = jnp.maximum(z + bp_ref[0:1, :], 0.0)
+                    y_buf[slot, k:k + 1] = z.astype(y_buf.dtype)[None]
+
                 out_dma(slot, b).start()
                 return carry
 
@@ -332,7 +402,7 @@ def ds_conv3x3_pw_pallas_multirow(
 
         pl.run_scoped(
             body,
-            x_buf=pltpu.VMEM((2, rows_in, wp, c), x.dtype),
+            x_buf=pltpu.VMEM((2, rows_in, wcols, lanes), x.dtype),
             y_buf=pltpu.VMEM((2, bb, wo, cout), x.dtype),
             in_sem=pltpu.SemaphoreType.DMA((2,)),
             out_sem=pltpu.SemaphoreType.DMA((2,)),
@@ -343,6 +413,8 @@ def ds_conv3x3_pw_pallas_multirow(
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 2 * c), lambda i: (0, 0)),
+            pl.BlockSpec((3, 2 * c), lambda i: (0, 0)),
             pl.BlockSpec((9, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((c, cout), lambda i: (0, 0)),
@@ -351,7 +423,7 @@ def ds_conv3x3_pw_pallas_multirow(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, cout), x.dtype),
         interpret=interpret,
-    )(xp, w9, bd, wpw, bp)
+    )(xp, w01, w2, w9, bd, wpw, bp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

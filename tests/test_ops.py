@@ -678,3 +678,33 @@ def test_engine_mesh_rejects_pallas_final_upsample(rng):
             config=E2EConfig(compute_dtype="float32", final_upsample="hybrid-pallas"),
             mesh=mesh,
         )
+
+
+def test_pallas_kernels_lower_for_tpu_target():
+    """Cross-platform jax.export lowering through Mosaic for a TPU target —
+    catches kernel-language violations WITHOUT hardware (this test's first
+    version of the kernels used stride-2 vector slices, which Mosaic
+    rejects with 'strides confined to [1,2)'; the pair-merged-lane
+    formulation exists because of this check)."""
+    import jax
+
+    from fastscnn_tpu.ops.pallas.dw_conv import (
+        ds_conv3x3_pw_pallas,
+        ds_conv3x3_pw_pallas_multirow,
+        dw_conv3x3_pallas,
+    )
+
+    wd = jnp.zeros((3, 3, 1, 32), jnp.bfloat16)
+    bd = jnp.zeros((32,), jnp.bfloat16)
+    wp = jnp.zeros((1, 1, 32, 48), jnp.bfloat16)
+    bp = jnp.zeros((48,), jnp.bfloat16)
+    spec = jax.ShapeDtypeStruct((2, 64, 96, 32), jnp.bfloat16)
+    for fn in (
+        lambda x: dw_conv3x3_pallas(x, wd, bd, stride=2, padding=1, relu=True, use_pallas=True),
+        lambda x: dw_conv3x3_pallas(x, wd, bd, stride=1, padding=1, relu=True, use_pallas=True),
+        lambda x: ds_conv3x3_pw_pallas(x, wd, bd, wp, bp, stride=2, use_pallas=True),
+        lambda x: ds_conv3x3_pw_pallas_multirow(
+            x, wd, bd, wp, bp, stride=2, rows_per_step=4, use_pallas=True
+        ),
+    ):
+        jax.export.export(jax.jit(fn), platforms=["tpu"])(spec)
