@@ -708,3 +708,41 @@ def test_pallas_kernels_lower_for_tpu_target():
         ),
     ):
         jax.export.export(jax.jit(fn), platforms=["tpu"])(spec)
+
+
+def test_full_graphs_lower_for_tpu_target():
+    """Whole-program TPU lowering of the riskiest staged variants at a
+    real shape class: the fused-ds serving graph and the pallas-stem
+    training step (compile failures must surface here, not on the
+    first hardware A/B)."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.losses import get_loss_fn
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+    from fastscnn_tpu.parallel import create_train_state, make_optimizer, make_train_step
+    from fastscnn_tpu.utils import lr_schedule
+
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 19)
+    model = FastSCNN(num_classes=19, folded_dw_impl="fused-ds-mr")
+    eng = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="bfloat16", mask_dtype="uint8")
+    )
+    fn = eng.predict_fn((1, 256, 512, 3))
+    jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jax.ShapeDtypeStruct((1, 256, 512, 3), jnp.uint8)
+    )
+
+    tmodel = FastSCNN(num_classes=19, aux=True, stem_impl="pallas")
+    opt = make_optimizer("sgd", lr_schedule("poly", base_lr=1e-2, niters=100, power=0.9))
+    tstate = create_train_state(tmodel, opt, key=jax.random.PRNGKey(0))
+    step = make_train_step(
+        tmodel, get_loss_fn("ce", aux=True, num_classes=19), opt,
+        mesh=None, compute_dtype=jnp.bfloat16,
+    )
+    jax.export.export(jax.jit(step), platforms=["tpu"])(
+        tstate,
+        jax.ShapeDtypeStruct((2, 96, 128, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((2, 96, 128), jnp.int32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
