@@ -694,6 +694,11 @@ def test_pallas_kernels_lower_for_tpu_target():
         dw_conv3x3_pallas,
     )
 
+    from fastscnn_tpu.ops.pallas.upsample_argmax import (
+        upsample_argmax,
+        w_matmul_h_lerp_argmax,
+    )
+
     wd = jnp.zeros((3, 3, 1, 32), jnp.bfloat16)
     bd = jnp.zeros((32,), jnp.bfloat16)
     wp = jnp.zeros((1, 1, 32, 48), jnp.bfloat16)
@@ -708,6 +713,14 @@ def test_pallas_kernels_lower_for_tpu_target():
         ),
     ):
         jax.export.export(jax.jit(fn), platforms=["tpu"])(spec)
+    # the opt-in mask kernels as well (hardware-tested in round 2; keep
+    # their lowering gated so refactors can't silently break them)
+    logits = jax.ShapeDtypeStruct((1, 64, 128, 19), jnp.bfloat16)
+    for fn in (
+        lambda x: upsample_argmax(x, (512, 1024), use_pallas=True),
+        lambda x: w_matmul_h_lerp_argmax(x, (512, 1024), use_pallas=True),
+    ):
+        jax.export.export(jax.jit(fn), platforms=["tpu"])(logits)
 
 
 def test_full_graphs_lower_for_tpu_target():
