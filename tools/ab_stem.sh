@@ -12,6 +12,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
+echo "== device mask parity across dw impls (gates the fps numbers) =="
+timeout 1800 python tools/check_dw_impls.py --height 512 --width 1024 --batch 4
+
 echo "== serving: folded dw impl (batch 128, 1024x2048 bf16) =="
 for rep in 1 2; do
   for impl in conv taps pallas fused-ds fused-ds-mr; do
