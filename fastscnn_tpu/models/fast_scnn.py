@@ -115,27 +115,33 @@ def _init_bottleneck(key, cin, cout, t):
 # ---------------------------------------------------------------------------
 
 
-def _apply_bn(p_bn, s_bn, x, training):
+def _apply_bn(p_bn, s_bn, x, training, packed=False):
     if training:
-        y, m, v = batch_norm_train(x, p_bn["scale"], p_bn["bias"], s_bn["mean"], s_bn["var"])
+        y, m, v = batch_norm_train(
+            x, p_bn["scale"], p_bn["bias"], s_bn["mean"], s_bn["var"], packed=packed
+        )
         return y, {"mean": m, "var": v}
     return batch_norm_apply(x, p_bn["scale"], p_bn["bias"], s_bn["mean"], s_bn["var"]), s_bn
 
 
-def _apply_cbr(p, s, x, training, stride=1, padding=0, groups=1, relu=True, conv_fn=conv2d):
+def _apply_cbr(
+    p, s, x, training, stride=1, padding=0, groups=1, relu=True, conv_fn=conv2d,
+    bn_packed=False,
+):
     y = conv_fn(x, p["w"], stride=stride, padding=padding, groups=groups)
-    y, s_bn = _apply_bn(p["bn"], s["bn"], y, training)
+    y, s_bn = _apply_bn(p["bn"], s["bn"], y, training, packed=bn_packed)
     if relu:
         y = jax.nn.relu(y)
     return y, {"bn": s_bn}
 
 
-def _apply_ds(p, s, x, training, stride=1, conv_fn=conv2d):
+def _apply_ds(p, s, x, training, stride=1, conv_fn=conv2d, bn_packed=False):
     cin = x.shape[-1]
     y, s_dw = _apply_cbr(
-        p["dw"], s["dw"], x, training, stride=stride, padding=1, groups=cin, conv_fn=conv_fn
+        p["dw"], s["dw"], x, training, stride=stride, padding=1, groups=cin,
+        conv_fn=conv_fn, bn_packed=bn_packed,
     )
-    y, s_pw = _apply_cbr(p["pw"], s["pw"], y, training, conv_fn=conv_fn)
+    y, s_pw = _apply_cbr(p["pw"], s["pw"], y, training, conv_fn=conv_fn, bn_packed=bn_packed)
     return y, {"dw": s_dw, "pw": s_pw}
 
 
@@ -246,11 +252,13 @@ class FastSCNN:
     # -- modules ------------------------------------------------------------
     def _ltd(self, p, s, x, training):
         """reference:models/fast_scnn.py:148-161."""
+        bn_packed = False
         if self.stem_impl == "xla":
             conv_fn = conv2d
         elif self.stem_impl == "tapbwd":
             conv_fn = conv2d_tapbwd
-        elif self.stem_impl == "taps":
+        elif self.stem_impl in ("taps", "taps-packbn"):
+            bn_packed = self.stem_impl == "taps-packbn"
             # dw convs as explicit VPU tap accumulation (fwd AND bwd
             # reformulated via AD of the slices); dense/pw convs keep the
             # XLA forward with the per-tap dW.
@@ -269,9 +277,18 @@ class FastSCNN:
                 return conv2d_tapbwd(x, w, stride=stride, padding=padding, groups=groups)
         else:
             raise ValueError(f"unknown stem_impl {self.stem_impl!r}")
-        y, s1 = _apply_cbr(p["conv"], s["conv"], x, training, stride=2, padding=0, conv_fn=conv_fn)
-        y, s2 = _apply_ds(p["dsconv1"], s["dsconv1"], y, training, stride=2, conv_fn=conv_fn)
-        y, s3 = _apply_ds(p["dsconv2"], s["dsconv2"], y, training, stride=2, conv_fn=conv_fn)
+        y, s1 = _apply_cbr(
+            p["conv"], s["conv"], x, training, stride=2, padding=0,
+            conv_fn=conv_fn, bn_packed=bn_packed,
+        )
+        y, s2 = _apply_ds(
+            p["dsconv1"], s["dsconv1"], y, training, stride=2,
+            conv_fn=conv_fn, bn_packed=bn_packed,
+        )
+        y, s3 = _apply_ds(
+            p["dsconv2"], s["dsconv2"], y, training, stride=2,
+            conv_fn=conv_fn, bn_packed=bn_packed,
+        )
         return y, {"conv": s1, "dsconv1": s2, "dsconv2": s3}
 
     def _gfe(self, p, s, x, training):

@@ -14,6 +14,7 @@ identical outputs and training matches step-for-step.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -298,6 +299,7 @@ def batch_norm_train(
     running_var: jnp.ndarray,
     momentum: float = BN_MOMENTUM,
     eps: float = BN_EPS,
+    packed: bool = False,
 ):
     """Training-mode BN: normalize with batch moments, update running stats.
 
@@ -305,8 +307,46 @@ def batch_norm_train(
     in f32 even for bf16 activations. Under a sharded jit the reductions
     over (N, H, W) become cross-replica collectives automatically —
     i.e. sync-BN over the data-parallel mesh.
+
+    ``packed=True`` (A/B candidate for the small-C stem,
+    docs/PERFORMANCE.md "Staged for measurement"): every pass runs on the
+    bitwise-free flat ``(total/L, L)`` view with ``L = lcm(C, 128)`` —
+    full 128-lane registers instead of the C/128 fill XLA was measured
+    at on the stem's BN ops (lane l of the flat view always holds
+    channel ``l % C``, so the L/C per-group partial sums fold at the
+    end). Pure reassociation; AD of the reshapes is reshapes, so the
+    backward is lane-dense too. Applies whenever L divides the element
+    count; falls through to the plain form otherwise.
     """
-    xf = x.astype(jnp.float32)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)  # f32 moments for bf16
+    if packed and x.ndim == 4:
+        c = x.shape[-1]
+        total = x.size
+        l = math.lcm(c, 128)
+        if c < 128 and total % l == 0:
+            reps = l // c
+            xflat = x.reshape(total // l, l)
+            xf = xflat.astype(acc_dtype)
+            count = total // c
+            batch_mean = jnp.sum(xf, axis=0).reshape(reps, c).sum(0) / count
+            mean_tiled = jnp.tile(batch_mean, reps)
+            batch_var = (
+                jnp.sum(jnp.square(xf - mean_tiled), axis=0).reshape(reps, c).sum(0)
+                / count
+            )
+            unbiased = batch_var * (count / max(count - 1, 1))
+            new_mean = (
+                (1 - momentum) * running_mean.astype(acc_dtype) + momentum * batch_mean
+            )
+            new_var = (1 - momentum) * running_var.astype(acc_dtype) + momentum * unbiased
+            inv = lax.rsqrt(batch_var + eps) * scale.astype(acc_dtype)
+            shift = bias.astype(acc_dtype) - batch_mean * inv
+            yflat = (
+                xflat * jnp.tile(inv, reps).astype(x.dtype)
+                + jnp.tile(shift, reps).astype(x.dtype)
+            ).astype(x.dtype)
+            return yflat.reshape(x.shape), new_mean, new_var
+    xf = x.astype(acc_dtype)
     axes = tuple(range(x.ndim - 1))
     batch_mean = jnp.mean(xf, axis=axes)
     # Two-pass variance: E[(x-μ)²]. The one-pass E[x²]-μ² form loses to
@@ -318,10 +358,10 @@ def batch_norm_train(
         n *= x.shape[a]
     # PyTorch stores the unbiased variance in running stats.
     unbiased = batch_var * (n / max(n - 1, 1))
-    new_mean = (1 - momentum) * running_mean.astype(jnp.float32) + momentum * batch_mean
-    new_var = (1 - momentum) * running_var.astype(jnp.float32) + momentum * unbiased
-    inv = lax.rsqrt(batch_var + eps) * scale.astype(jnp.float32)
-    shift = bias.astype(jnp.float32) - batch_mean * inv
+    new_mean = (1 - momentum) * running_mean.astype(acc_dtype) + momentum * batch_mean
+    new_var = (1 - momentum) * running_var.astype(acc_dtype) + momentum * unbiased
+    inv = lax.rsqrt(batch_var + eps) * scale.astype(acc_dtype)
+    shift = bias.astype(acc_dtype) - batch_mean * inv
     y = (x * inv.astype(x.dtype) + shift.astype(x.dtype)).astype(x.dtype)
     return y, new_mean, new_var
 

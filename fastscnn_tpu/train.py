@@ -69,7 +69,7 @@ def parse_args(argv=None):
                              "(multiprocess workers, per-record deterministic aug)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--stem-impl", type=str, default="xla",
-                        choices=["xla", "tapbwd", "taps", "pallas"],
+                        choices=["xla", "tapbwd", "taps", "taps-packbn", "pallas"],
                         help="training-time impl of the small-C stem convs "
                              "(tapbwd = per-tap dW contractions; see docs/PERFORMANCE.md)")
     # bdd100k extras (reference:train_bdd100k.py)

@@ -759,3 +759,73 @@ def test_full_graphs_lower_for_tpu_target():
         jax.ShapeDtypeStruct((2, 96, 128), jnp.int32),
         jax.ShapeDtypeStruct((2,), jnp.uint32),
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 7, 383, 32), (2, 4, 192, 48), (1, 3, 5, 7)])
+def test_batch_norm_train_packed_matches_plain(rng, shape):
+    """packed=True must reproduce plain BN (values, running stats, grads)
+    up to f32 reassociation — incl. C=48 (L=384) and an odd W where only
+    the flat total divides L; the (1,3,5,7) case falls through to the
+    plain path (total not divisible by lcm(7,128))."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import batch_norm_train
+
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((c,)) * 0.5 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    rm = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    rv = jnp.asarray(rng.random((c,)) + 0.5, jnp.float32)
+
+    def run(packed):
+        def f(x, scale, bias):
+            y, m, v = batch_norm_train(x, scale, bias, rm, rv, packed=packed)
+            return jnp.sum(y * y) + jnp.sum(m) + jnp.sum(v), (y, m, v)
+
+        (loss, out), grads = jax.value_and_grad(f, argnums=(0, 1, 2), has_aux=True)(
+            x, scale, bias
+        )
+        return loss, out, grads
+
+    l0, (y0, m0, v0), g0 = run(False)
+    l1, (y1, m1, v1), g1 = run(True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-5, atol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_stem_impl_taps_packbn_model_matches(rng):
+    """taps-packbn through the model: same f64 loss/grads as the default."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from fastscnn_tpu.losses import get_loss_fn
+        from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+        params, state = init_fast_scnn(jax.random.PRNGKey(3), 4)
+        to64 = lambda tree: jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float64) if p.dtype == jnp.float32 else p, tree
+        )
+        params, state = to64(params), to64(state)
+        x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float64)
+        t = jnp.asarray(rng.integers(-1, 4, (2, 64, 96)), jnp.int32)
+        loss_fn = get_loss_fn("ce", aux=False, num_classes=4)
+
+        def loss_of(model, p):
+            outputs, _ = model.apply(p, state, x, training=True, upsample_outputs=False)
+            return loss_fn(outputs, t)
+
+        rl, rg = jax.value_and_grad(lambda p: loss_of(FastSCNN(num_classes=4), p))(params)
+        pl_, pg = jax.value_and_grad(
+            lambda p: loss_of(FastSCNN(num_classes=4, stem_impl="taps-packbn"), p)
+        )(params)
+        assert np.isclose(float(rl), float(pl_), rtol=1e-12)
+        rv = np.concatenate([np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(rg)])
+        pv = np.concatenate([np.asarray(g).ravel() for g in jax.tree_util.tree_leaves(pg)])
+        assert np.linalg.norm(rv - pv) / np.linalg.norm(rv) < 1e-9
+    finally:
+        jax.config.update("jax_enable_x64", False)

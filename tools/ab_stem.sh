@@ -25,7 +25,7 @@ done
 
 echo "== training: stem impl (ce19 768^2 bs16) =="
 for rep in 1 2; do
-  for impl in xla tapbwd taps pallas; do
+  for impl in xla tapbwd taps taps-packbn pallas; do
     echo "--- rep $rep stem_impl=$impl"
     BENCH_TRAIN_STEM=$impl BENCH_TRAIN_CLASSES=19 BENCH_TRAIN_LOSS=ce \
       BENCH_TRAIN_CROP=768 BENCH_TRAIN_BATCHES=16 BENCH_TRAIN_ITERS=20 \
