@@ -119,24 +119,29 @@ class InferenceEngine:
         self.model = model
         self.config = config
         self.mesh = mesh
-        if mesh is not None and getattr(model, "folded_dw_impl", "conv") in (
-            "pallas", "fused-ds", "fused-ds-mr",
+        # Pallas kernels lower to custom calls with no GSPMD partition
+        # rule: under a jit-sharded batch XLA would replicate them (silent
+        # all-gather of the batch — the exact failure mode the grad-accum
+        # mesh work documented). Data-only meshes instead take the
+        # shard_map path in _build_predict (per-shard local shapes make
+        # the kernels legal); spatial sharding would need in-kernel halo
+        # logic, so that combination fails loudly.
+        self._uses_pallas = (
+            getattr(model, "folded_dw_impl", "conv")
+            in ("pallas", "fused-ds", "fused-ds-mr")
+            or config.final_upsample in ("pallas", "hybrid-pallas")
+        )
+        if (
+            mesh is not None
+            and self._uses_pallas
+            and mesh.shape.get("space", 1) > 1
         ):
-            # pallas_call lowers to a custom call with no GSPMD partition
-            # rule: under a sharded batch XLA would replicate it (silent
-            # all-gather of the batch — the exact failure mode the
-            # grad-accum mesh work documented). Batch-shard via shard_map
-            # is the clean future extension; until then fail loudly.
             raise ValueError(
-                f"folded_dw_impl={model.folded_dw_impl!r} (a Pallas kernel) "
-                "does not partition under a mesh; use 'conv' or 'taps' for "
-                "sharded serving"
-            )
-        if mesh is not None and config.final_upsample in ("pallas", "hybrid-pallas"):
-            raise ValueError(
-                f"final_upsample={config.final_upsample!r} (a Pallas kernel) "
-                "does not partition under a mesh; use 'hybrid' or 'matmul' "
-                "for sharded serving"
+                "Pallas serving kernels (folded_dw_impl="
+                f"{model.folded_dw_impl!r}, final_upsample="
+                f"{config.final_upsample!r}) cannot be spatially sharded "
+                "('space' axis > 1) — use a data-only mesh, or 'conv'/'taps' "
+                "+ 'hybrid'/'matmul'"
             )
         dtype = jnp.dtype(config.compute_dtype)
         self.folded = fold_inference_params(params, state, dtype=dtype)
@@ -244,6 +249,27 @@ class InferenceEngine:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if self._uses_pallas:
+                # shard_map: each device runs fn on its LOCAL batch shard,
+                # so the Pallas custom calls see ordinary per-shard shapes
+                # (GSPMD has no partition rule for them). Weights are
+                # closed over (already device_put-replicated in __init__).
+                ndata = self.mesh.shape["data"]
+                if shape[0] % ndata:
+                    raise ValueError(
+                        f"batch {shape[0]} must divide the data axis "
+                        f"({ndata}) for Pallas serving under a mesh"
+                    )
+                out_spec = (
+                    P("data", None, None, None) if cfg.softmax else P("data", None, None)
+                )
+                mapped = jax.shard_map(
+                    fn,
+                    mesh=self.mesh,
+                    in_specs=P("data", None, None, None),
+                    out_specs=out_spec,
+                )
+                return jax.jit(mapped)
             # Batch over 'data'; optionally image H over 'space' for
             # larger-than-HBM inputs (XLA SPMD inserts conv halo exchanges —
             # SURVEY §5.7's spatial-parallel extension).

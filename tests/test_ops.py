@@ -640,9 +640,12 @@ def test_folded_dw_impl_fused_ds_mr_same_mask(rng):
     np.testing.assert_array_equal(masks["conv"], masks["fused-ds-mr"])
 
 
-def test_engine_mesh_rejects_pallas_dw_impl(rng):
-    """Pallas folded_dw_impl + mesh must fail loudly (no GSPMD partition
-    rule for the custom call — a silent batch all-gather otherwise)."""
+def test_engine_mesh_pallas_dw_impl_shard_map(rng):
+    """Pallas folded_dw_impl under a DATA-only mesh takes the shard_map
+    path (per-shard local shapes make the custom calls legal — GSPMD has
+    no partition rule for them and would otherwise all-gather the batch):
+    masks must equal single-device; indivisible batches and spatial
+    meshes must fail loudly."""
     import jax
     from jax.sharding import Mesh
 
@@ -651,19 +654,36 @@ def test_engine_mesh_rejects_pallas_dw_impl(rng):
 
     params, state = init_fast_scnn(jax.random.PRNGKey(0), 3)
     mesh = Mesh(np.array(jax.devices()), ("data",))
-    with pytest.raises(ValueError, match="does not partition"):
+    model = FastSCNN(num_classes=3, folded_dw_impl="fused-ds")
+    x = rng.integers(0, 256, (8, 64, 96, 3)).astype(np.uint8)
+    eng_m = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh
+    )
+    eng_1 = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32")
+    )
+    np.testing.assert_array_equal(np.asarray(eng_m.predict(x)), np.asarray(eng_1.predict(x)))
+
+    # batch must divide the data axis for the shard_map path
+    with pytest.raises(ValueError, match="must divide"):
+        eng_m.predict(x[:3])
+
+    # spatial sharding + Pallas kernels is rejected at construction
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh_sp = Mesh(devs, ("data", "space"))
+    with pytest.raises(ValueError, match="spatially sharded"):
         InferenceEngine(
-            FastSCNN(num_classes=3, folded_dw_impl="fused-ds"),
-            params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh,
+            model, params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh_sp
         )
-    # 'taps' is pure XLA and stays mesh-legal
+
+    # 'taps' (pure XLA) keeps the jit+constraint path under any mesh
     InferenceEngine(
         FastSCNN(num_classes=3, folded_dw_impl="taps"),
         params, state, config=E2EConfig(compute_dtype="float32"), mesh=mesh,
     )
 
 
-def test_engine_mesh_rejects_pallas_final_upsample(rng):
+def test_engine_mesh_pallas_final_upsample_shard_map(rng):
     import jax
     from jax.sharding import Mesh
 
@@ -672,12 +692,12 @@ def test_engine_mesh_rejects_pallas_final_upsample(rng):
 
     params, state = init_fast_scnn(jax.random.PRNGKey(0), 3)
     mesh = Mesh(np.array(jax.devices()), ("data",))
-    with pytest.raises(ValueError, match="does not partition"):
-        InferenceEngine(
-            FastSCNN(num_classes=3), params, state,
-            config=E2EConfig(compute_dtype="float32", final_upsample="hybrid-pallas"),
-            mesh=mesh,
-        )
+    model = FastSCNN(num_classes=3)
+    x = rng.integers(0, 256, (8, 64, 96, 3)).astype(np.uint8)
+    cfg = E2EConfig(compute_dtype="float32", final_upsample="hybrid-pallas")
+    eng_m = InferenceEngine(model, params, state, config=cfg, mesh=mesh)
+    eng_1 = InferenceEngine(model, params, state, config=cfg)
+    np.testing.assert_array_equal(np.asarray(eng_m.predict(x)), np.asarray(eng_1.predict(x)))
 
 
 def test_pallas_kernels_lower_for_tpu_target():
