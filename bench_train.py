@@ -116,6 +116,7 @@ def main():
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(best_sps / 232.9, 2),
                 "batch": best_batch,
+                "stem_impl": stem_impl,
             }
         )
     )

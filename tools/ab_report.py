@@ -19,7 +19,7 @@ import statistics
 import sys
 from collections import defaultdict
 
-BASELINES = {"fps/chip": "conv", "samples/s": "xla"}
+BASELINES = {"fps/chip": "conv", "samples/sec/chip": "xla", "samples/s": "xla"}
 
 
 def parse(path: str):
