@@ -849,3 +849,59 @@ def test_stem_impl_taps_packbn_model_matches(rng):
         assert np.linalg.norm(rv - pv) / np.linalg.norm(rv) < 1e-9
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_dw_kernels_shape_fuzz(rng):
+    """Random-shape sweep of the dw/ds kernels in interpret mode: odd
+    sizes, both strides, C ∈ {16..96 step 16}, bias/ReLU toggles — the
+    fixed-shape tests cover the production shapes; this guards the
+    boundary arithmetic (padding-to-even, pair merge, row windows)."""
+    import jax
+
+    from fastscnn_tpu.ops.conv import conv2d
+    from fastscnn_tpu.ops.pallas.dw_conv import (
+        ds_conv3x3_pw_pallas,
+        ds_conv3x3_pw_pallas_multirow,
+        dw_conv3x3_pallas,
+    )
+
+    for trial in range(12):
+        c = int(rng.integers(1, 7)) * 16
+        cout = int(rng.integers(1, 5)) * 16
+        stride = int(rng.integers(1, 3))
+        h = int(rng.integers(5, 26))
+        w = int(rng.integers(5, 26))
+        relu = bool(rng.integers(0, 2))
+        with_bias = bool(rng.integers(0, 2))
+        x = jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((3, 3, 1, c)) * 0.2, jnp.float32)
+        bd = (
+            jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+            if with_bias else None
+        )
+        ref = conv2d(x, wd, bd, stride=stride, padding=1, groups=c)
+        if relu:
+            ref = jax.nn.relu(ref)
+        got = dw_conv3x3_pallas(
+            x, wd, bd, stride=stride, padding=1, relu=relu, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5,
+            err_msg=f"dw trial {trial}: c={c} s={stride} {h}x{w} relu={relu} bias={with_bias}",
+        )
+
+        bd2 = jnp.zeros((c,), jnp.float32) if bd is None else bd
+        wpw = jnp.asarray(rng.standard_normal((1, 1, c, cout)) * 0.2, jnp.float32)
+        bpw = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+        mid = jax.nn.relu(conv2d(x, wd, bd2, stride=stride, padding=1, groups=c))
+        ref2 = jax.nn.relu(conv2d(mid, wpw, bpw))
+        g1 = ds_conv3x3_pw_pallas(x, wd, bd2, wpw, bpw, stride=stride, interpret=True)
+        bb = int(rng.integers(2, 5))
+        g2 = ds_conv3x3_pw_pallas_multirow(
+            x, wd, bd2, wpw, bpw, stride=stride, rows_per_step=bb, interpret=True
+        )
+        for name, got2 in (("ds", g1), ("ds-mr", g2)):
+            np.testing.assert_allclose(
+                np.asarray(ref2), np.asarray(got2), rtol=1e-5, atol=1e-5,
+                err_msg=f"{name} trial {trial}: c={c}->{cout} s={stride} {h}x{w} B={bb}",
+            )
