@@ -193,13 +193,16 @@ class FastSCNN:
     # ppm_align_corners=False to reproduce the reference's deployed graph.
     ppm_sizes: tuple[int, ...] = _PPM_SIZES
     ppm_align_corners: bool = True
-    # Training-time implementation of the small-channel stem (LTD) convs.
+    # Training-time implementation of the small-channel stem (LTD) convs —
+    # A/B candidates for the measured small-C bottleneck (docs/
+    # PERFORMANCE.md §"Training: the 19-class Cityscapes recipe traced"):
     # 'xla' = plain lax convs (XLA-native backward); 'tapbwd' = same
-    # forward HLO but dW computed as per-tap contractions
-    # (ops/conv.py::conv2d_tapbwd) — an A/B candidate for the measured
-    # small-C stem backward bottleneck (docs/PERFORMANCE.md §"Training:
-    # the 19-class Cityscapes recipe traced"). Identical semantics; the
-    # folded serving path ignores it (no backward there).
+    # forward HLO, dW as per-tap contractions (ops/conv.py::conv2d_tapbwd);
+    # 'taps' = dw convs as shifted-slice VPU FMAs (AD reformulates fwd AND
+    # bwd) + tapbwd dense/pw; 'taps-packbn' = 'taps' plus lane-packed
+    # training BN (batch_norm_train(packed=True)); 'pallas' = Pallas dw
+    # row kernel with the tap backward. All semantically identical
+    # (f64-gated); the folded serving path ignores this field.
     stem_impl: str = "xla"
     # Serving-graph impl of the LTD depthwise convs in apply_folded:
     # 'conv' = lax conv (default); 'taps' = dw_conv2d_taps VPU tap
