@@ -23,12 +23,21 @@ for rep in 1 2; do
   done
 done
 
-echo "== training: stem impl (ce19 768^2 bs16) =="
+echo "== training: stem impl (ce19 768^2 bs16 — the Cityscapes recipe) =="
 for rep in 1 2; do
   for impl in xla tapbwd taps taps-packbn pallas; do
     echo "--- rep $rep stem_impl=$impl"
     BENCH_TRAIN_STEM=$impl BENCH_TRAIN_CLASSES=19 BENCH_TRAIN_LOSS=ce \
       BENCH_TRAIN_CROP=768 BENCH_TRAIN_BATCHES=16 BENCH_TRAIN_ITERS=20 \
+      timeout 1200 python bench_train.py
+  done
+done
+
+echo "== training: stem impl (dice2 480^2 bs128 — the headline config) =="
+for rep in 1 2; do
+  for impl in xla taps taps-packbn; do
+    echo "--- rep $rep stem_impl=$impl"
+    BENCH_TRAIN_STEM=$impl BENCH_TRAIN_BATCHES=128 BENCH_TRAIN_ITERS=20 \
       timeout 1200 python bench_train.py
   done
 done
