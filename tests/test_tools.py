@@ -350,3 +350,43 @@ def test_editor_session_navigation_and_save(tmp_path):
     assert ov.shape == (12, 16, 3)
     assert not np.array_equal(ov[4, 4], sess.image[4, 4])
     assert np.array_equal(ov[11, 15], sess.image[11, 15])
+
+
+def test_ab_report_parses_and_summarizes(tmp_path, capsys):
+    """ab_report: per-impl medians + interleaved per-rep deltas from a
+    synthetic ab_stem log."""
+    from tools.ab_report import main as ab_main
+
+    log = tmp_path / "ab.log"
+    log.write_text(
+        "\n".join(
+            [
+                "--- rep 1 dw_impl=conv",
+                '{"metric": "x", "value": 1570.0, "unit": "fps/chip"}',
+                "--- rep 1 dw_impl=taps",
+                '{"metric": "x", "value": 1650.0, "unit": "fps/chip"}',
+                "--- rep 2 dw_impl=conv",
+                '{"metric": "x", "value": 1560.0, "unit": "fps/chip"}',
+                "--- rep 2 dw_impl=taps",
+                '{"metric": "x", "value": 1640.0, "unit": "fps/chip"}',
+                "--- rep 1 stem_impl=xla",
+                '{"metric": "t", "value": 400.0, "unit": "samples/sec/chip"}',
+                "--- rep 1 stem_impl=taps",
+                '{"metric": "t", "value": 520.0, "unit": "samples/sec/chip"}',
+                "not json",
+            ]
+        )
+    )
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["ab_report.py", str(log)]
+    try:
+        ab_main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "fps/chip" in out and "samples/sec/chip" in out
+    assert "+5.1% vs conv" in out
+    assert "rep 1 vs conv: taps +5.1%" in out
+    assert "+30.0% vs xla" in out
