@@ -41,3 +41,7 @@ for rep in 1 2; do
       timeout 1200 python bench_train.py
   done
 done
+
+echo "== summary =="
+# when driven by the watcher the full log lives here; harmless otherwise
+python tools/ab_report.py /tmp/ab_stem_results.log 2>/dev/null || true
