@@ -150,7 +150,7 @@ def _conv_dw_taps(x, g, kh, kw, stride, padding, groups, precision):
                     lax.dot_general(
                         xv,
                         g,
-                        ((( 0, 1, 2), (0, 1, 2)), ((), ())),
+                        (((0, 1, 2), (0, 1, 2)), ((), ())),
                         precision=precision,
                         preferred_element_type=acc_dtype,
                     )
