@@ -321,7 +321,15 @@ def ds_conv3x3_pw_pallas_multirow(
     n, h, wd, _ = x.shape
     ho, wo = _out_len(h, 3, stride, padding), _out_len(wd, 3, stride, padding)
     bb = int(rows_per_step)
-    if not (use_pallas or interpret) or bb <= 1 or ho % bb:
+    # Manual HBM `memref_slice` DMAs additionally require the LANE dim to
+    # be a multiple of the 128-lane tiling (found on-chip 2026-08-18:
+    # "Slice shape along dimension 3 must be aligned to tiling (128)").
+    # The LTD DSConvs have 2C ∈ {64, 96} lanes pair-merged, so they take
+    # the single-row BlockSpec kernel instead (BlockSpec pipelining has
+    # no such constraint); see docs/KERNELS.md for the packed-lane
+    # design that would lift this.
+    lanes_ok = (2 * c if stride == 2 else c) % 128 == 0
+    if not (use_pallas or interpret) or bb <= 1 or ho % bb or not (lanes_ok or interpret):
         return ds_conv3x3_pw_pallas(
             x, w_dw, b_dw, w_pw, b_pw, stride=stride, padding=padding,
             use_pallas=use_pallas, interpret=interpret,
@@ -331,6 +339,16 @@ def ds_conv3x3_pw_pallas_multirow(
     from jax.experimental.pallas import tpu as pltpu
 
     xp, wcols = _pad_input(x, padding, stride)
+    # Manual HBM→VMEM DMA slices must be tile-aligned in the second-minor
+    # dim: Mosaic rejects `memref_slice` extents that are not multiples of
+    # the 8-sublane tiling (found on-chip 2026-08-18 — the offline
+    # jax.export lowering can NOT catch this; the check runs in the
+    # backend AOT compile). Pad the column dim to 8; the accumulator
+    # slices only the first `wo(+1)` columns, so the extra zeros are dead.
+    col_pad = -wcols % 8
+    if col_pad:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, col_pad), (0, 0)))
+        wcols += col_pad
     lanes = 2 * c if stride == 2 else c
     rows_in = (bb - 1) * stride + 3
     nblk = ho // bb
