@@ -114,7 +114,14 @@ def main():
                 ),
                 "value": round(best_sps, 1),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(best_sps / 232.9, 2),
+                # The 232.9 samples/s reference baseline is the TuSimple
+                # recipe (2-class dice 480²); other recipes have no
+                # published reference speed, so no ratio is claimed.
+                "vs_baseline": (
+                    round(best_sps / 232.9, 2)
+                    if (num_classes, loss_name, crop) == (2, "dice", 480)
+                    else None
+                ),
                 "batch": best_batch,
                 "stem_impl": stem_impl,
             }

@@ -242,7 +242,6 @@ def export_onnx(fn, example_args, path: str, metadata: dict | None = None,
             f"(missing: {e.name})"
         ) from e
     import tensorflow as tf
-    import tf2onnx
     from jax.experimental import jax2tf
 
     tf_fn = tf.function(

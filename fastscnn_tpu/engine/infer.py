@@ -138,7 +138,7 @@ class InferenceEngine:
         ):
             raise ValueError(
                 "Pallas serving kernels (folded_dw_impl="
-                f"{model.folded_dw_impl!r}, final_upsample="
+                f"{getattr(model, 'folded_dw_impl', 'conv')!r}, final_upsample="
                 f"{config.final_upsample!r}) cannot be spatially sharded "
                 "('space' axis > 1) — use a data-only mesh, or 'conv'/'taps' "
                 "+ 'hybrid'/'matmul'"

@@ -57,7 +57,9 @@ __all__ = [
 
 
 def _out_len(size: int, k: int, stride: int, padding: int) -> int:
-    return (size + 2 * padding - k) // stride + 1
+    from fastscnn_tpu.ops.conv import _conv_out_len
+
+    return _conv_out_len(size, k, stride, padding)
 
 
 def _xla_fallback(x, w, b, stride, padding, relu):
@@ -313,6 +315,8 @@ def ds_conv3x3_pw_pallas_multirow(
     kh, kw, mult, c = w_dw.shape
     if (kh, kw, mult) != (3, 3, 1) or c != x.shape[-1]:
         raise ValueError(f"needs (3,3,1,C) dw weights, got {w_dw.shape}")
+    if w_pw.ndim != 4 or w_pw.shape[:2] != (1, 1) or w_pw.shape[2] != c:
+        raise ValueError(f"pw weights must be (1,1,{c},Cout), got {w_pw.shape}")
     if stride not in (1, 2):
         raise ValueError(f"stride must be 1 or 2, got {stride}")
     cout = w_pw.shape[3]
@@ -323,13 +327,19 @@ def ds_conv3x3_pw_pallas_multirow(
     bb = int(rows_per_step)
     # Manual HBM `memref_slice` DMAs additionally require the LANE dim to
     # be a multiple of the 128-lane tiling (found on-chip 2026-08-18:
-    # "Slice shape along dimension 3 must be aligned to tiling (128)").
-    # The LTD DSConvs have 2C ∈ {64, 96} lanes pair-merged, so they take
-    # the single-row BlockSpec kernel instead (BlockSpec pipelining has
-    # no such constraint); see docs/KERNELS.md for the packed-lane
-    # design that would lift this.
-    lanes_ok = (2 * c if stride == 2 else c) % 128 == 0
-    if not (use_pallas or interpret) or bb <= 1 or ho % bb or not (lanes_ok or interpret):
+    # "Slice shape along dimension 3 must be aligned to tiling (128)")
+    # and the second-minor extent a multiple of the 8-sublane tiling —
+    # on BOTH ends: the input copy (lanes, wcols is padded to 8 below)
+    # and the output copy (cout, wo). The LTD DSConvs have 2C ∈ {64, 96}
+    # lanes pair-merged, so they take the single-row BlockSpec kernel
+    # instead (BlockSpec pipelining has no such constraint); see
+    # docs/KERNELS.md for the packed-lane design that would lift this.
+    tiles_ok = (
+        (2 * c if stride == 2 else c) % 128 == 0
+        and cout % 128 == 0
+        and wo % 8 == 0
+    )
+    if not (use_pallas or interpret) or bb <= 1 or ho % bb or not (tiles_ok or interpret):
         return ds_conv3x3_pw_pallas(
             x, w_dw, b_dw, w_pw, b_pw, stride=stride, padding=padding,
             use_pallas=use_pallas, interpret=interpret,

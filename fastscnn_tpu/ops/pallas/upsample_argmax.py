@@ -169,6 +169,54 @@ def upsample_argmax(
     )(x, a_h, a_w)
 
 
+def _hybrid_plan(h, w, c, out_h, out_w, align_corners, itemsize):
+    """Shape plan + engagement gate for the blocked hybrid kernel.
+
+    Returns ``(ok, th, win, wblk, nj, walign)``; ``ok`` covers only the
+    shape legality — the caller ANDs in the backend/opt-in checks. Pure
+    so tests can probe the gate at shapes the CPU suite cannot execute.
+
+    - ``th``: output-row tile. Output rows [th·k, th·k+th) read source
+      rows [lo, lo+span) with lo = ⌊th·k·(h−1)/(H−1)⌋; a win-row window
+      floor-aligned to walign always covers them when
+      span + walign − 1 ≤ win. win is the MXU K dim (pads to 128 either
+      way), so it is sized to the span instead of a fixed 32 — a fixed
+      32 silently failed this gate at the flagship 1024×2048 shape
+      (span 18 + 15 > 32) and fell back to XLA.
+    - alignment: the kernel promises Mosaic a walign-aligned window
+      start (``pl.multiple_of``). The floor-aligned start is clamped to
+      h − win, which is only aligned when h and win are both multiples
+      of walign (or win == h ⇒ start 0); alternatively the clamp never
+      engages if the LAST block's aligned start already fits. Shapes
+      violating both (e.g. 480² serving: h=60, win=32, block 7 clamps
+      to 28) would read the wrong source rows — they must fall back.
+    - ``wblk``/``nj``: W split so the f32 (th, C·wblk) product and the
+      (h, C, wblk) input strip fit VMEM comfortably.
+    """
+    th = 128 if out_h % 128 == 0 else _pick_tile(out_h, 64)
+    walign = 16
+    scale = (h - 1) / (out_h - 1) if (align_corners and out_h > 1) else h / out_h
+    span = int(np.ceil(th * scale)) + 2
+    win = min(h, -(-(span + walign - 1) // walign) * walign)
+    wblk, nj = out_w, 1
+    while th * c * wblk * 4 > 5 * 2**20 and wblk % 2 == 0:
+        wblk //= 2
+        nj *= 2
+    hm = out_h - 1 if align_corners else out_h
+    hn = h - 1 if align_corners else h
+    s_last = ((out_h - th) * hn // max(hm, 1) // walign) * walign
+    align_ok = h % walign == 0 or win == h or s_last <= h - win
+    ok = (
+        out_h % th == 0
+        and span + walign - 1 <= win <= h
+        and align_ok
+        and th * c * wblk * 4 <= 5 * 2**20
+        and h * c * wblk * itemsize <= 4 * 2**20
+        and (h, w) != (out_h, out_w)
+    )
+    return ok, th, win, wblk, nj, walign
+
+
 def w_matmul_h_lerp_argmax(
     logits: jnp.ndarray,
     out_size: tuple[int, int],
@@ -227,32 +275,10 @@ def w_matmul_h_lerp_argmax(
         precision=f32_precision(dt),
     )  # (N, h, C, W_out)
 
-    th = 128 if out_h % 128 == 0 else _pick_tile(out_h, 64)
-    walign = 16
-    # Output rows [th·k, th·k+th) read source rows [lo, lo+span) with
-    # lo = ⌊th·k·(h−1)/(H−1)⌋; a win-row window floor-aligned to walign
-    # always covers them when span + walign − 1 ≤ win. win is the MXU K
-    # dim (pads to 128 either way), so size it to the span instead of a
-    # fixed 32 — a fixed 32 silently failed this gate at the flagship
-    # 1024×2048 shape (span 18 + 15 > 32) and fell back to XLA.
-    scale = (h - 1) / (out_h - 1) if (align_corners and out_h > 1) else h / out_h
-    span = int(np.ceil(th * scale)) + 2
-    win = min(h, -(-(span + walign - 1) // walign) * walign)
-    # W block: the f32 (th, C·wblk) product must fit VMEM comfortably.
-    esize = jnp.dtype(dt).itemsize
-    wblk, nj = out_w, 1
-    while th * c * wblk * 4 > 5 * 2**20 and wblk % 2 == 0:
-        wblk //= 2
-        nj *= 2
-    ok = (
-        use_pallas
-        and jax.default_backend() in ("tpu", "axon")
-        and out_h % th == 0
-        and span + walign - 1 <= win <= h
-        and th * c * wblk * 4 <= 5 * 2**20
-        and h * c * wblk * esize <= 4 * 2**20
-        and (h, w) != (out_h, out_w)
+    shape_ok, th, win, wblk, nj, walign = _hybrid_plan(
+        h, w, c, out_h, out_w, align_corners, jnp.dtype(dt).itemsize
     )
+    ok = use_pallas and jax.default_backend() in ("tpu", "axon") and shape_ok
     if not ok:
         y = _matmul_h(xw, out_h, align_corners)
         # Plain jnp.argmax: the variadic reduce fuses into the H-matmul

@@ -28,7 +28,8 @@
 // bugs, reproduced here as the *intended* behavior):
 //  * usart.h fixes USART1_REC_LEN=5 while the shipped protocol needs 7
 //    bytes (reference:car/usart.h:4 vs simple_car_controller_stm32.c:37);
-//    the rx ring length is a constructor parameter (default 7).
+//    the rx ring length is a constructor parameter (0 selects the
+//    practical 64-byte default; pass 5 to model the reference bug).
 //  * simple_car_controller_stm32.c's `last_command_time` is declared
 //    function-static in main() but assigned in ProcessSpeedCommand (would
 //    not compile); here the watchdog timestamp is explicit MCU state.

@@ -905,3 +905,104 @@ def test_dw_kernels_shape_fuzz(rng):
                 np.asarray(ref2), np.asarray(got2), rtol=1e-5, atol=1e-5,
                 err_msg=f"{name} trial {trial}: c={c}->{cout} s={stride} {h}x{w} B={bb}",
             )
+
+
+def test_hybrid_plan_alignment_invariant():
+    """The blocked hybrid kernel promises Mosaic a 16-aligned window
+    start (pl.multiple_of). For every shape the plan accepts, the
+    clamped start must genuinely be aligned AND the window must cover
+    every source row the block interpolates from; shapes where the
+    h−win clamp would break alignment (the 480² serving case: h=60,
+    block 7 clamps to 28) must be rejected. Regression for a round-2
+    review finding: the old gate accepted them."""
+    import math
+
+    from fastscnn_tpu.ops.pallas.upsample_argmax import _hybrid_plan
+
+    def check(h, w, c, out_h, out_w, ac=True, itemsize=2):
+        ok, th, win, wblk, nj, walign = _hybrid_plan(h, w, c, out_h, out_w, ac, itemsize)
+        if not ok:
+            return False
+        hm = out_h - 1 if ac else out_h
+        hn = h - 1 if ac else h
+        scale = hn / max(hm, 1)
+        for k in range(out_h // th):
+            s0 = (k * th) * hn // hm
+            s = min((s0 // walign) * walign, h - win)
+            assert s % walign == 0, (h, out_h, k, s)
+            assert 0 <= s and s + win <= h
+            lo = math.floor((k * th) * scale)
+            hi = min(h - 1, math.ceil(((k + 1) * th - 1) * scale) + 1)
+            assert s <= lo and hi < s + win, (h, out_h, k, s, lo, hi)
+        return True
+
+    # the flagship serving shape engages (and is invariant-clean)
+    assert check(128, 256, 19, 1024, 2048)
+    # the 480² shape (h=60: clamp at the last blocks breaks alignment)
+    # is rejected — previously accepted with a false alignment promise
+    assert not check(60, 60, 19, 480, 480)
+    # identity resize is rejected (nothing to do)
+    assert not check(128, 256, 19, 128, 256)
+    # sweep: every accepted shape satisfies the invariant (the asserts
+    # inside check() are the test); rejections are fine
+    engaged = 0
+    for h in (16, 32, 48, 60, 64, 90, 96, 120, 128, 144):
+        for out_h in (128, 240, 256, 480, 512, 768, 1024):
+            if out_h <= h:
+                continue
+            engaged += check(h, h * 2, 19, out_h, out_h * 2)
+    assert engaged >= 10, engaged
+
+
+def test_multirow_falls_back_on_unaligned_dma_tiles(monkeypatch):
+    """Manual HBM DMA slices need 128-aligned lanes AND 8-aligned
+    second-minor extents on BOTH copies (on-chip Mosaic AOT finding).
+    The gate must route unaligned shapes — including output-side
+    cout/wo, which the input-lane check alone misses — to the
+    single-row BlockSpec kernel. Regression for a round-2 review
+    finding: c=64 stride-2 passes the input check (2C=128) but
+    cout=96 would fail the output DMA."""
+    from fastscnn_tpu.ops.pallas import dw_conv as m
+
+    calls = []
+    real = m.ds_conv3x3_pw_pallas
+    monkeypatch.setattr(
+        m, "ds_conv3x3_pw_pallas",
+        lambda *a, **k: calls.append(k) or real(*a, **k),
+    )
+
+    def run(c, cout, h, w, stride=2):
+        x = jnp.zeros((1, h, w, c), jnp.float32)
+        wd = jnp.zeros((3, 3, 1, c), jnp.float32)
+        wp = jnp.zeros((1, 1, c, cout), jnp.float32)
+        z = jnp.zeros((c,), jnp.float32)
+        zp = jnp.zeros((cout,), jnp.float32)
+        calls.clear()
+        try:
+            # use_pallas=True so the gate is exercised; actually running
+            # either kernel on the CPU backend fails — only the routing
+            # (did the single-row fallback get called?) is under test.
+            m.ds_conv3x3_pw_pallas_multirow(
+                x, wd, z, wp, zp, stride=stride, rows_per_step=2, use_pallas=True
+            )
+        except Exception:
+            pass
+        return bool(calls)
+
+    # unaligned cout (96 < 128) falls back despite aligned input lanes
+    assert run(c=64, cout=96, h=16, w=256)
+    # unaligned wo (output W=10 % 8 != 0) falls back too
+    assert run(c=64, cout=128, h=16, w=21)
+    # fully aligned shape does NOT fall back
+    assert not run(c=64, cout=128, h=16, w=256)
+    # pw-weight shape validation matches the single-row kernel's
+    import pytest
+
+    with pytest.raises(ValueError, match="pw weights"):
+        m.ds_conv3x3_pw_pallas_multirow(
+            jnp.zeros((1, 8, 8, 16), jnp.float32),
+            jnp.zeros((3, 3, 1, 16), jnp.float32),
+            jnp.zeros((16,), jnp.float32),
+            jnp.zeros((3, 3, 16, 32), jnp.float32),  # not 1x1
+            jnp.zeros((32,), jnp.float32),
+        )

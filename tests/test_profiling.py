@@ -39,7 +39,7 @@ def test_cache_dir_is_host_namespaced(fresh_cache_state):
     # or a bare machine-name fallback).
     assert os.path.dirname(got) == base
     leaf = os.path.basename(got)
-    assert re.fullmatch(r"[0-9a-f]{12}", leaf) or leaf, leaf
+    assert re.fullmatch(r"[0-9a-f]{12}", leaf) or re.fullmatch(r"[\w.-]+", leaf), leaf
     import jax
 
     assert jax.config.jax_compilation_cache_dir == got
