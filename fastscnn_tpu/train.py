@@ -58,6 +58,10 @@ def parse_args(argv=None):
                         help="resume from save-folder's latest train state if present "
                              "(preemption-safe restarts)")
     parser.add_argument("--save-folder", type=str, default="./weights")
+    parser.add_argument("--tensorboard-dir", type=str, default=None,
+                        help="also mirror epoch metrics as TensorBoard "
+                             "scalars to this directory (the reference's "
+                             "unchecked TODO, reference:README.md:62)")
     parser.add_argument("--eval", action="store_true", default=False)
     parser.add_argument("--no-val", action="store_true", default=False)
     parser.add_argument("--val-epoch", type=int, default=1, help="validate every N epochs")
@@ -269,6 +273,7 @@ class Trainer:
             f"logs/training_log_{args.dataset}.json",
             experiment_name=f"fast_scnn_{args.dataset}",
             resume=resumed_run,
+            tensorboard_dir=args.tensorboard_dir,
         )
         self._rng_key = jax.random.PRNGKey(args.seed + 1)
 
@@ -326,6 +331,7 @@ class Trainer:
                 self.save_checkpoint(is_best)
         self.monitor.plot_curves()
         print(self.monitor.report())
+        self.monitor.close()
         return self.state
 
     def validation(self, max_batches: int | None = None):

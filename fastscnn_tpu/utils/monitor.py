@@ -1,11 +1,17 @@
 """Training monitor: JSON epoch log, best-metric tracking, curve plots,
-text report with convergence heuristics.
+text report with convergence heuristics, optional TensorBoard events.
 
 Port of ``TrainingMonitor`` (reference:training_visualizer.py:20-267):
 same JSON schema (list of epoch records), 4-panel matplotlib curves
 (loss / pixAcc / mIoU / lr), and a text report with simple convergence
 and tuning hints. Matplotlib is imported lazily with the Agg backend so
 headless training never needs a display.
+
+Beyond the reference: ``tensorboard_dir`` mirrors every epoch record as
+TensorBoard scalars (the reference's unchecked TODO,
+reference:README.md:62). The ``tf.summary`` writer is created lazily on
+the first logged epoch and degrades to a warning when tensorflow is not
+installed — the JSON log stays the source of truth either way.
 """
 
 from __future__ import annotations
@@ -19,16 +25,19 @@ __all__ = ["TrainingMonitor"]
 
 class TrainingMonitor:
     def __init__(self, log_path: str, experiment_name: str = "fast_scnn",
-                 resume: bool = False):
+                 resume: bool = False, tensorboard_dir: str | None = None):
         """``resume=True`` continues an existing JSON log (checkpoint
         resume); a fresh run starts a fresh history — the reference
         timestamps each run's log file for the same reason
-        (reference:training_visualizer.py:23-28)."""
+        (reference:training_visualizer.py:23-28). ``tensorboard_dir``
+        additionally mirrors records as TB scalars (see module doc)."""
         self.log_path = log_path
         self.experiment_name = experiment_name
         self.records: list[dict] = []
         self.best = {"metric": -1.0, "epoch": -1}
         self.start_time = time.time()
+        self.tensorboard_dir = tensorboard_dir
+        self._tb_writer = None
         os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
         if resume and os.path.exists(log_path):
             try:
@@ -75,7 +84,39 @@ class TrainingMonitor:
         self.records.append(record)
         with open(self.log_path, "w") as f:
             json.dump(self.records, f, indent=2)
+        self._tb_log(record)
         return is_best
+
+    # -- TensorBoard mirror ------------------------------------------------
+
+    def _tb_log(self, record: dict) -> None:
+        if self.tensorboard_dir is None:
+            return
+        if self._tb_writer is None:
+            try:
+                # tensorflow is an optional dependency of this feature
+                # only; a plain `import tensorflow` at module scope would
+                # tax every training run with TF's import time.
+                import tensorflow as tf
+            except ImportError:
+                print("warning: --tensorboard-dir set but tensorflow is not "
+                      "installed; TB events disabled (JSON log unaffected)")
+                self.tensorboard_dir = None
+                return
+            self._tb_writer = tf.summary.create_file_writer(self.tensorboard_dir)
+        import tensorflow as tf
+
+        step = int(record["epoch"])
+        with self._tb_writer.as_default():
+            for key, value in record.items():
+                if key != "epoch" and isinstance(value, float):
+                    tf.summary.scalar(f"{self.experiment_name}/{key}", value, step=step)
+        self._tb_writer.flush()
+
+    def close(self) -> None:
+        if self._tb_writer is not None:
+            self._tb_writer.close()
+            self._tb_writer = None
 
     def plot_curves(self, out_path: str | None = None) -> str | None:
         if not self.records:

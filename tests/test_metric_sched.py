@@ -118,3 +118,46 @@ def test_poly_schedule_endpoint_is_zero_under_jit():
         # and the step before the endpoint is still positive and finite
         prev = float(jax.jit(s)(jnp.int32(16)))
         assert np.isfinite(prev) and prev > 0.0
+
+
+def test_training_monitor_tensorboard_mirror(tmp_path):
+    """tensorboard_dir mirrors epoch records as tf.summary scalars
+    (events file appears, scalars readable); the JSON log is unaffected.
+    Beyond-reference feature: reference README.md:62 leaves TensorBoard
+    as an unchecked TODO."""
+    tf = pytest.importorskip("tensorflow")
+    from fastscnn_tpu.utils.monitor import TrainingMonitor
+
+    tb = tmp_path / "tb"
+    mon = TrainingMonitor(
+        str(tmp_path / "log.json"), experiment_name="exp",
+        tensorboard_dir=str(tb),
+    )
+    mon.log_epoch(0, train_loss=1.5, lr=0.01, pix_acc=0.8, miou=0.5)
+    mon.log_epoch(1, train_loss=1.2, lr=0.009, samples_per_sec=100.0)
+    mon.close()
+
+    files = list(tb.glob("events.out.tfevents.*"))
+    assert files, "no TB events file written"
+    seen = {}
+    for ev in tf.compat.v1.train.summary_iterator(str(files[0])):
+        for v in ev.summary.value:
+            seen.setdefault(v.tag, []).append(
+                (ev.step, float(tf.make_ndarray(v.tensor)))
+            )
+    assert seen["exp/train_loss"] == [(0, 1.5), (1, pytest.approx(1.2))]
+    assert seen["exp/miou"] == [(0, 0.5)]
+    # JSON log is still the source of truth
+    import json
+
+    records = json.loads((tmp_path / "log.json").read_text())
+    assert len(records) == 2 and records[1]["samples_per_sec"] == 100.0
+
+
+def test_training_monitor_no_tensorboard_dir_writes_no_events(tmp_path):
+    from fastscnn_tpu.utils.monitor import TrainingMonitor
+
+    mon = TrainingMonitor(str(tmp_path / "log.json"))
+    mon.log_epoch(0, train_loss=1.0, lr=0.1)
+    mon.close()
+    assert not list(tmp_path.rglob("events.out.tfevents.*"))
