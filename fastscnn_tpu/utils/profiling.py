@@ -78,6 +78,14 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     even disagree numerically (observed once as a grad-accum parity test
     flake: the scan step compiled natively, the unrolled reference loaded
     a foreign blob). One warm-up per distinct host type is the price.
+
+    Note: even a SAME-host cache hit logs the loader's "machine feature
+    +prefer-no-scatter/+prefer-no-gather is not supported on the host
+    machine ... could lead to SIGILL" error line. Those two are XLA
+    codegen *preferences* baked into the AOT blob's feature string, not
+    CPU ISA extensions, and the host probe never reports them — the
+    comparison is spuriously asymmetric. With this fingerprint
+    namespacing in place the warning is noise, not a fault.
     """
     import hashlib
     import os
