@@ -169,6 +169,20 @@ def upsample_argmax(
     )(x, a_h, a_w)
 
 
+def _block_start(i0, h, out_h, align_corners):
+    """⌊src(i0)⌋ of the 1-D resample mapping in exact integer math,
+    BEFORE the clamp to [0, h−1] (align_corners=False can return −1 for
+    the first rows). Works for Python ints and traced scalars alike —
+    both use floor division, so the kernel and the plan cannot drift.
+
+    align_corners=True:  src = i·(h−1)/(H−1)
+    align_corners=False: src = (i+0.5)·h/H − 0.5 = ((2i+1)h − H)/(2H)
+    """
+    if align_corners:
+        return (i0 * (h - 1)) // max(out_h - 1, 1)
+    return ((2 * i0 + 1) * h - out_h) // (2 * out_h)
+
+
 def _hybrid_plan(h, w, c, out_h, out_w, align_corners, itemsize):
     """Shape plan + engagement gate for the blocked hybrid kernel.
 
@@ -176,40 +190,46 @@ def _hybrid_plan(h, w, c, out_h, out_w, align_corners, itemsize):
     shape legality — the caller ANDs in the backend/opt-in checks. Pure
     so tests can probe the gate at shapes the CPU suite cannot execute.
 
-    - ``th``: output-row tile. Output rows [th·k, th·k+th) read source
-      rows [lo, lo+span) with lo = ⌊th·k·(h−1)/(H−1)⌋; a win-row window
-      floor-aligned to walign always covers them when
-      span + walign − 1 ≤ win. win is the MXU K dim (pads to 128 either
-      way), so it is sized to the span instead of a fixed 32 — a fixed
-      32 silently failed this gate at the flagship 1024×2048 shape
-      (span 18 + 15 > 32) and fell back to XLA.
-    - alignment: the kernel promises Mosaic a walign-aligned window
-      start (``pl.multiple_of``). The floor-aligned start is clamped to
-      h − win, which is only aligned when h and win are both multiples
-      of walign (or win == h ⇒ start 0); alternatively the clamp never
-      engages if the LAST block's aligned start already fits. Shapes
-      violating both (e.g. 480² serving: h=60, win=32, block 7 clamps
-      to 28) would read the wrong source rows — they must fall back.
+    - ``th``: output-row tile; ``win``: the source-row window (the MXU K
+      dim, pads to 128 either way), sized from the scale with slack.
+    - Coverage + alignment are then verified AUTHORITATIVELY, per block,
+      against ``_axis_lerp_coeffs`` — the single source of truth for the
+      rows an output row interpolates from — using the exact same
+      ``_block_start`` arithmetic the kernel executes. A closed-form
+      gate here previously used the align_corners source mapping
+      unconditionally, so align_corners=False (whose half-pixel mapping
+      can need row ⌊src⌋ = start−1) passed the gate while the kernel
+      read the wrong rows (round-2 advisor finding). Any block whose
+      floor-aligned, clamped window misses a needed row, or whose
+      clamped start breaks the ``pl.multiple_of`` promise (the 480²
+      serving case: h=60, block 7 clamps to 28), rejects the plan.
     - ``wblk``/``nj``: W split so the f32 (th, C·wblk) product and the
       (h, C, wblk) input strip fit VMEM comfortably.
     """
     th = 128 if out_h % 128 == 0 else _pick_tile(out_h, 64)
     walign = 16
     scale = (h - 1) / (out_h - 1) if (align_corners and out_h > 1) else h / out_h
-    span = int(np.ceil(th * scale)) + 2
+    span = int(np.ceil(th * scale)) + 3
     win = min(h, -(-(span + walign - 1) // walign) * walign)
     wblk, nj = out_w, 1
     while th * c * wblk * 4 > 5 * 2**20 and wblk % 2 == 0:
         wblk //= 2
         nj *= 2
-    hm = out_h - 1 if align_corners else out_h
-    hn = h - 1 if align_corners else h
-    s_last = ((out_h - th) * hn // max(hm, 1) // walign) * walign
-    align_ok = h % walign == 0 or win == h or s_last <= h - win
+    from fastscnn_tpu.ops.resize import _axis_lerp_coeffs
+
+    cover_ok = out_h % th == 0 and 0 < win <= h
+    if cover_ok:
+        lo_all, hi_all, _ = _axis_lerp_coeffs(h, out_h, align_corners)
+        for k in range(out_h // th):
+            s = max(int(_block_start(k * th, h, out_h, align_corners)), 0)
+            s = min((s // walign) * walign, h - win)
+            need_lo = int(lo_all[k * th : (k + 1) * th].min())
+            need_hi = int(hi_all[k * th : (k + 1) * th].max())
+            if s % walign != 0 or s < 0 or not (s <= need_lo and need_hi < s + win):
+                cover_ok = False
+                break
     ok = (
-        out_h % th == 0
-        and span + walign - 1 <= win <= h
-        and align_ok
+        cover_ok
         and th * c * wblk * 4 <= 5 * 2**20
         and h * c * wblk * itemsize <= 4 * 2**20
         and (h, w) != (out_h, out_w)
@@ -287,8 +307,6 @@ def w_matmul_h_lerp_argmax(
 
     from jax.experimental import pallas as pl
 
-    hm = out_h - 1 if align_corners else out_h
-    hn = h - 1 if align_corners else h
     # (h, out_h) orientation: the dynamic win-row slice runs over
     # SUBLANES (walign=16 matches the bf16 sublane tile) — a lane-dim
     # slice at non-128 multiples is rejected by Mosaic.
@@ -296,7 +314,9 @@ def w_matmul_h_lerp_argmax(
 
     def kernel(a_ref, x_ref, out_ref):
         k = pl.program_id(2)
-        s = (k * th) * hn // hm
+        # Same arithmetic _hybrid_plan verified against _axis_lerp_coeffs
+        # (align_corners=False's half-pixel ⌊src⌋ can be −1 → clamp at 0).
+        s = jnp.maximum(_block_start(k * th, h, out_h, align_corners), 0)
         s = jnp.minimum((s // walign) * walign, h - win)
         s = pl.multiple_of(s, walign)
         a_blk = a_ref[pl.ds(s, win), :]                       # (win, th)

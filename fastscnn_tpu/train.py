@@ -279,6 +279,14 @@ class Trainer:
 
     # -- loops ---------------------------------------------------------------
     def train(self):
+        # The monitor owns a tf.summary writer when --tensorboard-dir is
+        # set; close it even on KeyboardInterrupt / training exceptions.
+        try:
+            return self._train_loop()
+        finally:
+            self.monitor.close()
+
+    def _train_loop(self):
         import jax
         import jax.numpy as jnp
 
@@ -331,7 +339,6 @@ class Trainer:
                 self.save_checkpoint(is_best)
         self.monitor.plot_curves()
         print(self.monitor.report())
-        self.monitor.close()
         return self.state
 
     def validation(self, max_batches: int | None = None):

@@ -911,33 +911,41 @@ def test_hybrid_plan_alignment_invariant():
     """The blocked hybrid kernel promises Mosaic a 16-aligned window
     start (pl.multiple_of). For every shape the plan accepts, the
     clamped start must genuinely be aligned AND the window must cover
-    every source row the block interpolates from; shapes where the
-    h−win clamp would break alignment (the 480² serving case: h=60,
-    block 7 clamps to 28) must be rejected. Regression for a round-2
-    review finding: the old gate accepted them."""
-    import math
-
-    from fastscnn_tpu.ops.pallas.upsample_argmax import _hybrid_plan
+    every source row the block interpolates from — with needed rows
+    taken from the AUTHORITATIVE ``_axis_lerp_coeffs``, not a re-derived
+    formula, and swept over BOTH align_corners modes. Regression for two
+    review findings: (round 2) shapes where the h−win clamp broke
+    alignment (480² serving: h=60, block 7 clamps to 28) were accepted;
+    (round 2 advisor) align_corners=False's half-pixel mapping needs
+    source row ⌊src⌋ = start−1 on block boundaries, which the old
+    align_corners-only closed form could not see (e.g. h=64→512,
+    block 1 needs row 15, floor-aligned window started at 16)."""
+    from fastscnn_tpu.ops.pallas.upsample_argmax import _block_start, _hybrid_plan
+    from fastscnn_tpu.ops.resize import _axis_lerp_coeffs
 
     def check(h, w, c, out_h, out_w, ac=True, itemsize=2):
         ok, th, win, wblk, nj, walign = _hybrid_plan(h, w, c, out_h, out_w, ac, itemsize)
         if not ok:
             return False
-        hm = out_h - 1 if ac else out_h
-        hn = h - 1 if ac else h
-        scale = hn / max(hm, 1)
+        lo_all, hi_all, _ = _axis_lerp_coeffs(h, out_h, ac)
         for k in range(out_h // th):
-            s0 = (k * th) * hn // hm
-            s = min((s0 // walign) * walign, h - win)
-            assert s % walign == 0, (h, out_h, k, s)
+            # mirror the kernel's start arithmetic exactly
+            s = max(int(_block_start(k * th, h, out_h, ac)), 0)
+            s = min((s // walign) * walign, h - win)
+            assert s % walign == 0, (h, out_h, ac, k, s)
             assert 0 <= s and s + win <= h
-            lo = math.floor((k * th) * scale)
-            hi = min(h - 1, math.ceil(((k + 1) * th - 1) * scale) + 1)
-            assert s <= lo and hi < s + win, (h, out_h, k, s, lo, hi)
+            lo = int(lo_all[k * th : (k + 1) * th].min())
+            hi = int(hi_all[k * th : (k + 1) * th].max())
+            assert s <= lo and hi < s + win, (h, out_h, ac, k, s, lo, hi)
         return True
 
-    # the flagship serving shape engages (and is invariant-clean)
-    assert check(128, 256, 19, 1024, 2048)
+    # the flagship serving shape engages (and is invariant-clean) in
+    # both align_corners modes
+    assert check(128, 256, 19, 1024, 2048, ac=True)
+    assert check(128, 256, 19, 1024, 2048, ac=False)
+    # the advisor's counterexample shape must now be either rejected or
+    # covered (check() asserts coverage when accepted)
+    check(64, 128, 19, 512, 1024, ac=False)
     # the 480² shape (h=60: clamp at the last blocks breaks alignment)
     # is rejected — previously accepted with a false alignment promise
     assert not check(60, 60, 19, 480, 480)
@@ -946,12 +954,13 @@ def test_hybrid_plan_alignment_invariant():
     # sweep: every accepted shape satisfies the invariant (the asserts
     # inside check() are the test); rejections are fine
     engaged = 0
-    for h in (16, 32, 48, 60, 64, 90, 96, 120, 128, 144):
-        for out_h in (128, 240, 256, 480, 512, 768, 1024):
-            if out_h <= h:
-                continue
-            engaged += check(h, h * 2, 19, out_h, out_h * 2)
-    assert engaged >= 10, engaged
+    for ac in (True, False):
+        for h in (16, 32, 48, 60, 64, 90, 96, 120, 128, 144):
+            for out_h in (128, 240, 256, 480, 512, 768, 1024):
+                if out_h <= h:
+                    continue
+                engaged += check(h, h * 2, 19, out_h, out_h * 2, ac=ac)
+    assert engaged >= 20, engaged
 
 
 def test_multirow_falls_back_on_unaligned_dma_tiles(monkeypatch):
