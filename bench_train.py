@@ -54,7 +54,7 @@ def main():
         )
         state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
 
-        def one_step(state, key):
+        def one_step(state, images, targets, key):
             x = _normalize(images, None, None, jnp.bfloat16)
 
             def loss_of(params):
@@ -77,23 +77,30 @@ def main():
 
             return TrainState(new_params, new_ms, new_opt, state.step + 1), loss
 
+        # images/targets are ARGUMENTS, not closure captures: a captured
+        # device array is embedded in the serialized program, whose size
+        # then scales with batch — at bs≥192×480² the remote-compile relay
+        # rejects the upload with HTTP 413 (round-2 finding, root-caused
+        # round 3). As arguments the program size is batch-independent.
         def body(i, carry):
-            state, acc = carry
-            state, loss = one_step(state, jax.random.fold_in(jax.random.PRNGKey(1), i))
-            return state, acc + loss
+            state, imgs, tgts, acc = carry
+            state, loss = one_step(state, imgs, tgts, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return state, imgs, tgts, acc + loss
 
         @jax.jit
-        def bench(state):
-            state, acc = lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+        def bench(state, imgs, tgts):
+            state, _, _, acc = lax.fori_loop(
+                0, iters, body, (state, imgs, tgts, jnp.float32(0))
+            )
             return state.step, acc
 
         try:
-            step, acc = bench(state)
+            step, acc = bench(state, images, targets)
             _ = np.asarray(acc)  # compile + run once
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                step, acc = bench(state)
+                step, acc = bench(state, images, targets)
                 _ = np.asarray(acc)
                 times.append((time.perf_counter() - t0) / iters)
             dt = sorted(times)[1]
