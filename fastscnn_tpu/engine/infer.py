@@ -65,6 +65,11 @@ class E2EConfig:
     ops/pallas/upsample_argmax.py::w_matmul_h_lerp_argmax),
     'hybrid-pallas' (the same plan with its opt-in Pallas H-lerp/argmax
     kernel — measured slower than the matmul plan, kept for study),
+    'nbr-exact' (mask path only: the exact neighborhood-agreement
+    scheme — argmax-first where the 2×2 source footprint agrees
+    unanimously, proven to inherit the class under convex interpolation;
+    full interp argmax elsewhere; see
+    ops/pallas/upsample_argmax.py::neighborhood_agreement_mask),
     or 'argmax-first' (mask path only, OPT-IN SEMANTIC CHANGE: argmax at
     the classifier's 1/8 resolution, nearest-expanded — mask boundaries
     quantize to the 8-px grid, trading boundary fidelity for speed).
@@ -222,6 +227,16 @@ class InferenceEngine:
             return w_matmul_h_lerp_argmax(
                 logits, self._net_in_size(images.shape), align_corners=True,
                 use_pallas=self.config.final_upsample == "hybrid-pallas",
+                out_dtype=jnp.dtype(self.config.mask_dtype),
+            )
+        if self.config.final_upsample == "nbr-exact":
+            from fastscnn_tpu.ops.pallas.upsample_argmax import (
+                neighborhood_agreement_mask,
+            )
+
+            logits = self._forward(images, upsample=False)
+            return neighborhood_agreement_mask(
+                logits, self._net_in_size(images.shape), align_corners=True,
                 out_dtype=jnp.dtype(self.config.mask_dtype),
             )
         if self.config.final_upsample == "argmax-first":

@@ -352,6 +352,87 @@ def w_matmul_h_lerp_argmax(
     return out.astype(out_dtype)
 
 
+def _lo_onehot(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out, in) 0/1 matrix selecting each output position's FLOOR source
+    index (⌊src⌋ from the authoritative ``_axis_lerp_coeffs``). Matmul by
+    this matrix is an exact gather-free nearest-style expansion on the
+    MXU — integer values ≤ 256 survive bf16 exactly."""
+    from fastscnn_tpu.ops.resize import _axis_lerp_coeffs
+
+    lo, _, _ = _axis_lerp_coeffs(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] = 1.0
+    return m
+
+
+def neighborhood_agreement_mask(
+    logits: jnp.ndarray,
+    out_size: tuple[int, int],
+    align_corners: bool = True,
+    out_dtype=jnp.int32,
+) -> jnp.ndarray:
+    """EXACT fast mask via neighborhood agreement (docs/PERFORMANCE.md
+    Future-work #2, built and A/B'd in round 3).
+
+    Theorem: if every source pixel of an output pixel's 2×2 bilinear
+    footprint has the same argmax class c, the interpolated pixel's
+    argmax is c — convex combinations preserve dominance: z = Σ wᵢzᵢ
+    with zᵢ[c] ≥ zᵢ[k] ∀i,k gives z[c] ≥ z[k]; strictness at k < c
+    follows from first-occurrence argmax picking c at each corner, so
+    the tie-break also matches ``jnp.argmax`` exactly.
+
+    Dense TPU-friendly formulation (no sparse control flow):
+      1. low-res argmax ``am`` (N,h,w) — cheap;
+      2. per-CELL unanimity from three shifted equalities (right, down,
+         diagonal — pairwise equality of all 4 corners follows);
+      3. pack ``am + 32·unanimous`` and expand to full res with ⌊src⌋
+         one-hot interp-matmuls (C=1 — 19× less MXU work than the
+         logits expansion), decode class/flag;
+      4. ``where(unanimous, corner class, full interp argmax)`` with the
+         interp branch the default 'hybrid' matmul plan.
+
+    Exactness caveat (measured, see tests): the theorem is exact in real
+    arithmetic; the default path rounds its interp to bf16 before the
+    argmax, so a near-tie at a unanimous pixel can round to equality and
+    flip the default's argmax to a LOWER class index while this path
+    keeps c. On random logits that affects <0.1% of pixels (the same
+    near-tie band as every other formulation here); on real trained
+    logits boundary pixels are never unanimous, so the two paths agree.
+
+    The dense formulation computes the full interp branch anyway, so it
+    can only be SLOWER than the default — it exists to pin the semantics
+    and as the correctness reference for a sparse (capacity-gathered)
+    variant; see the A/B table in docs/PERFORMANCE.md for the measured
+    numbers and the verdict.
+    """
+    n, h, w, c = logits.shape
+    out_h, out_w = int(out_size[0]), int(out_size[1])
+    am = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (N,h,w)
+    # cell unanimity: corners (y,x),(y,x+1),(y+1,x),(y+1,x+1) all equal
+    # (edge-clamped shifts make border cells compare with themselves)
+    am_r = jnp.concatenate([am[:, :, 1:], am[:, :, -1:]], axis=2)
+    am_d = jnp.concatenate([am[:, 1:, :], am[:, -1:, :]], axis=1)
+    am_dr = jnp.concatenate([am_d[:, :, 1:], am_d[:, :, -1:]], axis=2)
+    unanimous = (am == am_r) & (am == am_d) & (am == am_dr)
+    # expansion dtype follows the logits (bf16 serving → MXU rate; f32 on
+    # CPU where eager bf16 dots are unsupported) — packed ints ≤ 50 are
+    # exact in bf16, and one-hot rows have a single nonzero, so the
+    # matmul is an exact selection either way
+    dt = logits.dtype
+    packed = (am + 32 * unanimous.astype(jnp.int32)).astype(dt)
+    e_h = jnp.asarray(_lo_onehot(h, out_h, align_corners), dt)
+    e_w = jnp.asarray(_lo_onehot(w, out_w, align_corners).T, dt)
+    up = jnp.einsum(
+        "Oh,nhw,wW->nOW", e_h, packed, e_w,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    near_cls, near_ok = up % 32, up >= 32
+    interp = w_matmul_h_lerp_argmax(
+        logits, out_size, align_corners, use_pallas=False, out_dtype=jnp.int32
+    )
+    return jnp.where(near_ok, near_cls, interp).astype(out_dtype)
+
+
 def _matmul_h(xw: jnp.ndarray, out_h: int, align_corners: bool):
     """H-upsample of an (N, h, C, W) strip via interp-matmul (fallback)."""
     from fastscnn_tpu.ops.conv import f32_precision

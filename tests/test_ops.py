@@ -186,13 +186,13 @@ def test_engine_final_upsample_matmul_matches_gather(rng):
     params, state = init_fast_scnn(jax.random.PRNGKey(0), 7)
     x = rng.integers(0, 256, (2, 64, 128, 3)).astype(np.uint8)
     masks = {}
-    for mode in ("matmul", "gather", "pallas", "hybrid", "hybrid-pallas"):
+    for mode in ("matmul", "gather", "pallas", "hybrid", "hybrid-pallas", "nbr-exact"):
         eng = InferenceEngine(
             model, params, state,
             config=E2EConfig(compute_dtype="float32", final_upsample=mode),
         )
         masks[mode] = eng.predict(x)
-    for mode in ("gather", "pallas", "hybrid", "hybrid-pallas"):
+    for mode in ("gather", "pallas", "hybrid", "hybrid-pallas", "nbr-exact"):
         diff = np.mean(masks["matmul"] != masks[mode])
         assert diff < 1e-3, f"mask diff {diff:.2%} matmul vs {mode}"
 
@@ -1015,3 +1015,61 @@ def test_multirow_falls_back_on_unaligned_dma_tiles(monkeypatch):
             jnp.zeros((3, 3, 16, 32), jnp.float32),  # not 1x1
             jnp.zeros((32,), jnp.float32),
         )
+
+
+def test_neighborhood_agreement_mask_exact():
+    """The dense exact fast-mask path (docs/PERFORMANCE.md Future-work
+    #2): where the 2x2 source footprint agrees on an argmax class the
+    output pixel provably inherits it; elsewhere the full interp argmax
+    runs. On logits with a comfortable margin (no near-ties) the result
+    must be IDENTICAL to the reference resize+argmax in both
+    align_corners modes, including at image borders (edge-clamped
+    cells) and across region boundaries (disagreeing cells)."""
+    from fastscnn_tpu.ops.pallas.upsample_argmax import (
+        _xla_reference,
+        neighborhood_agreement_mask,
+    )
+
+    rng = np.random.default_rng(5)
+    for (h, w, c, oh, ow) in [(16, 24, 19, 128, 192), (13, 17, 5, 97, 131)]:
+        # piecewise-constant class regions + noise that cannot flip the
+        # argmax (margin 3, noise < 1): unanimity is common but not
+        # universal, boundaries exercise the interp branch
+        regions = rng.integers(0, c, (4, 4))
+        base = np.kron(regions, np.ones((h // 4 + 1, w // 4 + 1)))[:h, :w]
+        logits = rng.normal(0, 0.3, (2, h, w, c)).astype(np.float32)
+        onehot = np.eye(c)[base.astype(int)] * 3.0
+        logits += onehot[None]
+        for ac in (True, False):
+            ref = np.asarray(_xla_reference(jnp.asarray(logits), (oh, ow), ac))
+            got = np.asarray(
+                neighborhood_agreement_mask(jnp.asarray(logits), (oh, ow), ac)
+            )
+            np.testing.assert_array_equal(ref, got, err_msg=f"{h}x{w}->{oh}x{ow} ac={ac}")
+
+
+def test_neighborhood_agreement_mask_random_near_ties():
+    """On unstructured random logits (worst case: near-ties everywhere,
+    unanimity rare) the path must still agree with the reference on all
+    but the documented near-tie band (<0.5%), and every disagreeing
+    pixel must be a genuine near-tie in the interpolated logits."""
+    from fastscnn_tpu.ops.resize import resize_bilinear
+    from fastscnn_tpu.ops.pallas.upsample_argmax import (
+        _xla_reference,
+        neighborhood_agreement_mask,
+    )
+
+    rng = np.random.default_rng(11)
+    logits = rng.normal(0, 1, (1, 12, 16, 7)).astype(np.float32)
+    ref = np.asarray(_xla_reference(jnp.asarray(logits), (96, 128), True))
+    got = np.asarray(neighborhood_agreement_mask(jnp.asarray(logits), (96, 128), True))
+    disagree = ref != got
+    assert disagree.mean() < 0.005, f"disagreement {disagree.mean():.4%}"
+    if disagree.any():
+        up = np.asarray(
+            resize_bilinear(jnp.asarray(logits, jnp.float32), (96, 128), align_corners=True)
+        )
+        ys, xs = np.nonzero(disagree[0])
+        for y, x in zip(ys[:50], xs[:50]):
+            z = np.sort(up[0, y, x])[::-1]
+            assert z[0] - z[1] < 1e-2, f"non-near-tie disagreement at {(y, x)}: {z[:2]}"
