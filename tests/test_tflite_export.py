@@ -165,3 +165,47 @@ def test_export_onnx_guarded_when_packages_missing(tmp_path):
     else:  # onnx-capable environment: the artifact must round-trip
         out = export_onnx(fn, args, path, metadata={"k": 1})
         assert os.path.getsize(out) > 0
+
+
+def test_export_onnx_full_model_when_packages_present(tmp_path):
+    """Auto-activating ONNX emission gate (round-2 verdict item 3): the
+    reference's shipped deploy format (reference:export_onnx_fixed.py:
+    308-318) has never been produced because `onnx`/`tf2onnx` are absent
+    in this sandbox. The moment they appear, this test exports the REAL
+    E2E Fast-SCNN graph to .onnx and parity-gates it through
+    onnxruntime against the engine — no code change needed. Until then
+    it skips, visibly."""
+    import importlib.util
+
+    import numpy as np
+    import pytest as _pytest
+
+    for pkg in ("onnx", "tf2onnx", "tensorflow"):
+        if importlib.util.find_spec(pkg) is None:
+            _pytest.skip(f"{pkg} not installed — ONNX emission stays unexecuted")
+
+    import jax
+
+    from fastscnn_tpu.engine import E2EConfig, InferenceEngine
+    from fastscnn_tpu.engine.export import export_onnx
+    from fastscnn_tpu.models import FastSCNN, init_fast_scnn
+
+    model = FastSCNN(num_classes=7)
+    params, state = init_fast_scnn(jax.random.PRNGKey(0), 7)
+    engine = InferenceEngine(
+        model, params, state, config=E2EConfig(compute_dtype="float32")
+    )
+    shape = (1, 64, 128, 3)
+    fn = engine.predict_fn(shape)
+    x = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+    path = export_onnx(fn, [x], str(tmp_path / "fast_scnn.onnx"))
+    assert os.path.getsize(path) > 0
+
+    if importlib.util.find_spec("onnxruntime") is not None:
+        import onnxruntime as ort
+
+        sess = ort.InferenceSession(path)
+        (out,) = sess.run(None, {sess.get_inputs()[0].name: x})
+        want = np.asarray(engine.predict(x))
+        agree = (out.reshape(want.shape) == want).mean()
+        assert agree > 0.995, f"ONNX runtime mask agreement {agree:.4f}"
