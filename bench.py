@@ -43,11 +43,16 @@ def main():
         folded_dw_impl=os.environ.get("BENCH_DW_IMPL", "conv"),
     )
     params, state = init_fast_scnn(jax.random.PRNGKey(0), num_classes)
+    # BENCH_UPSAMPLE A/Bs the final mask formulation (hybrid default;
+    # 'nbr-exact', 'argmax-first', 'matmul', ... — see E2EConfig).
     engine = InferenceEngine(
         model,
         params,
         state,
-        config=E2EConfig(mean=IMAGENET_MEAN, std=IMAGENET_STD, compute_dtype="bfloat16"),
+        config=E2EConfig(
+            mean=IMAGENET_MEAN, std=IMAGENET_STD, compute_dtype="bfloat16",
+            final_upsample=os.environ.get("BENCH_UPSAMPLE", "hybrid"),
+        ),
     )
 
     # Default sweep: 64 is the knee; 96/128 fit since the matmul-upsample
@@ -58,6 +63,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     trials = int(os.environ.get("BENCH_TRIALS", "5"))
     best_fps, best_batch = 0.0, 0
+    best_eff = {}
     rng = np.random.default_rng(0)
     for batch in batches:
         x = jax.numpy.asarray(rng.integers(0, 256, size=(batch, h, w, 3), dtype=np.uint8))
@@ -77,6 +83,21 @@ def main():
         print(f"batch {batch}: {fps:.1f} fps ({1e3 * dt:.2f} ms/iter)", file=sys.stderr)
         if fps > best_fps:
             best_fps, best_batch = fps, batch
+            # efficiency accounting from XLA's own cost model: the whole
+            # program runs `iters` forwards, so per-iter flops = total/iters
+            try:
+                ca = fn.lower(x).compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, list) else ca
+                best_eff = {
+                    "achieved_tflops": round(ca.get("flops", 0.0) / iters / dt / 1e12, 2),
+                    # v5e peak: 197 TFLOP/s bf16, 819 GB/s HBM
+                    "mfu": round(ca.get("flops", 0.0) / iters / dt / 197e12, 4),
+                    "hbm_gbps": round(
+                        ca.get("bytes accessed", 0.0) / iters / dt / 1e9, 1
+                    ),
+                }
+            except Exception as e:
+                best_eff = {"cost_analysis_error": str(e)[:120]}
         profile_dir = os.environ.get("BENCH_PROFILE_DIR")
         if profile_dir:
             from fastscnn_tpu.utils.profiling import device_trace
@@ -93,6 +114,7 @@ def main():
                 "vs_baseline": round(best_fps / 1000.0, 3),
                 "batch": best_batch,
                 "dw_impl": os.environ.get("BENCH_DW_IMPL", "conv"),
+                **best_eff,
             }
         )
     )
