@@ -56,20 +56,23 @@ def _make_custom_set(root, n, height, width, seed=0):
 
 
 def measure_loader(loader, n_epochs=1, warmup=2):
-    """samples/s through a loader, excluding the first `warmup` batches
-    (thread/process pool spin-up)."""
-    seen = 0
-    t0 = None
+    """samples/s through a loader, excluding up to `warmup` leading
+    batches (thread/process pool spin-up). Warmup shrinks when the
+    fixture set yields few batches so small sets still measure
+    (first execution returned 0.0 for a 3-batch Grain epoch because the
+    fixed warmup swallowed every batch)."""
+    stamps = [time.perf_counter()]
+    counts = []
     for _ in range(n_epochs):
-        for k, (images, targets) in enumerate(loader):
-            if k == warmup and t0 is None:
-                t0 = time.perf_counter()
-                seen = 0
-                continue
-            if t0 is not None:
-                seen += len(images)
-    dt = time.perf_counter() - t0 if t0 else float("inf")
-    return seen / dt if seen else 0.0
+        for images, _targets in loader:
+            stamps.append(time.perf_counter())
+            counts.append(len(images))
+    if not counts:
+        return 0.0
+    w = min(warmup, len(counts) - 1)
+    dt = stamps[-1] - stamps[w]
+    seen = sum(counts[w:])
+    return seen / dt if dt > 0 else 0.0
 
 
 def main():
@@ -147,15 +150,17 @@ def main():
                 "--save-epoch", "100000", "--print-interval", "100000",
             ] + (["--aux"] if r["aux"] else [])
             tr = Trainer(targs(flags))
-            # epoch 0 pays compilation; time a second epoch if asked
+            tr.train()  # epoch 0: pays the jit compile, not timed
+            # steady state: time `train_epochs` more epochs, loader in
+            # the loop, compile cache warm
+            tr.args.start_epoch, tr.args.epochs = 1, 1 + args.train_epochs
             t0 = time.perf_counter()
             tr.train()
             wall = time.perf_counter() - t0
             steps = tr.iters_per_epoch * args.train_epochs
             row["e2e_train_sps"] = round(steps * args.batch_size / wall, 2)
-            row["e2e_note"] = "includes jit compile of the first step"
             print(f"{name}: end-to-end train {row['e2e_train_sps']} samples/s "
-                  f"({steps} steps incl. compile)", file=sys.stderr)
+                  f"({steps} steady-state steps)", file=sys.stderr)
         out["recipes"][name] = row
 
     print(json.dumps(out))

@@ -120,10 +120,17 @@ class GrainDataLoader:
             num_epochs=1,
             seed=self.seed + epoch,
         )
+        # NO Batch operation here: grain applies operations INSIDE each
+        # worker process, so a per-worker Batch(drop_remainder) silently
+        # drops each worker's partial tail — with num_records/workers <
+        # batch_size an epoch yields ZERO batches (found measuring the
+        # 24-image fixture set with 4 workers, bench_input.py). Workers
+        # do the expensive decode+augment; the parent assembles batches
+        # from the merged record stream below.
         return gp.DataLoader(
             data_source=source,
             sampler=sampler,
-            operations=[gp.Batch(batch_size=self.batch_size, drop_remainder=self.drop_last)],
+            operations=[],
             worker_count=self.num_workers,
         )
 
@@ -132,8 +139,15 @@ class GrainDataLoader:
 
     def __iter__(self):
         for epoch in range(self.num_epochs):
-            for batch in self._epoch_loader(epoch):
-                yield batch["image"], batch["target"].astype(np.int32)
+            images, targets = [], []
+            for rec in self._epoch_loader(epoch):
+                images.append(rec["image"])
+                targets.append(rec["target"])
+                if len(images) == self.batch_size:
+                    yield np.stack(images), np.stack(targets).astype(np.int32)
+                    images, targets = [], []
+            if images and not self.drop_last:
+                yield np.stack(images), np.stack(targets).astype(np.int32)
 
 
 def make_grain_loader(dataset, **kwargs):

@@ -317,6 +317,18 @@ def test_grain_loader_multiprocess_workers(custom_tree):
     batches = list(loader)
     assert len(batches) == len(ds) // 2
 
+    # Regression (bench_input.py first execution): grain applies
+    # operations inside each worker, so a per-worker Batch op dropped
+    # every worker's partial tail — more workers than records/batch_size
+    # yielded ZERO batches. The parent-side batcher must make the batch
+    # count independent of worker_count.
+    loader4 = GrainDataLoader(ds, batch_size=3, shuffle=True, seed=1, num_workers=4)
+    batches4 = list(loader4)
+    assert len(batches4) == len(ds) // 3, (
+        f"{len(batches4)} batches with 4 workers vs {len(ds) // 3} expected"
+    )
+    assert all(b[0].shape[0] == 3 for b in batches4)
+
 
 def test_grain_loader_epochs_vary_augmentation(custom_tree):
     """num_epochs > 1 must NOT apply byte-identical augmentations each
