@@ -212,6 +212,13 @@ class FastSCNN:
     # candidates for the measured #1 serving op (stem dsconv1-dw at
     # 169 GB/s, docs/PERFORMANCE.md round-2 profile).
     folded_dw_impl: str = "conv"
+    # Post-training-quantization simulation hook (tools/quant_study.py):
+    # a callable ``y -> y`` applied to every conv INPUT in apply_folded
+    # (the value grid an int8 kernel would see). None — the default —
+    # adds nothing to the traced graph. A declared field because the
+    # dataclass is frozen; install with dataclasses.replace. compare
+    # stays off so hook identity doesn't split equality-keyed caches.
+    act_fake_quant: Any = dataclasses.field(default=None, compare=False)
 
     # -- init ---------------------------------------------------------------
     def init(self, key) -> tuple[Params, Params]:
@@ -370,10 +377,18 @@ class FastSCNN:
 
         ``upsample_outputs=False`` returns 1/8-res logits so the caller
         can choose the upsample formulation (the serving engine uses the
-        MXU interp-matmul path — ops/resize.py)."""
+        MXU interp-matmul path — ops/resize.py).
+
+        The optional ``act_fake_quant`` field (callable ``y → y``,
+        installed via ``dataclasses.replace``) is applied to every conv
+        INPUT — the post-training-quantization simulation hook used by
+        ``tools/quant_study.py`` to measure int8 accuracy before any
+        int8 kernel work. ``None`` (the default) adds nothing to the
+        traced graph."""
+        aq = self.act_fake_quant or (lambda y: y)
 
         def cbr(p, y, stride=1, padding=0, groups=1, relu=True):
-            y = conv2d(y, p["w"], p["b"], stride=stride, padding=padding, groups=groups)
+            y = conv2d(aq(y), p["w"], p["b"], stride=stride, padding=padding, groups=groups)
             return jax.nn.relu(y) if relu else y
 
         def cbr_dw_alt(p, y, stride):
@@ -457,13 +472,13 @@ class FastSCNN:
         c = p["classifier"]
         y = ds(c["dsconv1"], fused)
         y = ds(c["dsconv2"], y)
-        logits = conv2d(y, c["conv"]["w"], c["conv"]["b"])
+        logits = conv2d(aq(y), c["conv"]["w"], c["conv"]["b"])
         if upsample_outputs:
             logits = resize_bilinear_matmul(logits, size, align_corners=True)
         if self.aux and "auxlayer" in p:
             a = p["auxlayer"]
             z = cbr(a["conv1"], higher, padding=1)
-            auxout = conv2d(z, a["conv2"]["w"], a["conv2"]["b"])
+            auxout = conv2d(aq(z), a["conv2"]["w"], a["conv2"]["b"])
             if upsample_outputs:
                 auxout = resize_bilinear_matmul(auxout, size, align_corners=True)
             return (logits, auxout)
