@@ -219,6 +219,23 @@ class FastSCNN:
     # dataclass is frozen; install with dataclasses.replace. compare
     # stays off so hook identity doesn't split equality-keyed caches.
     act_fake_quant: Any = dataclasses.field(default=None, compare=False)
+    # Serving-graph pointwise-conv implementation: 'conv' (default) or
+    # 'int8-a8' / 'int8-w8a8' — route the non-head 1×1 convs through the
+    # fused int8+requant Pallas kernels (ops/pallas/int8_pw.py), using
+    # the per-site activation scales in ``pw_act_scales`` (a hashable
+    # tuple of (site, scale) pairs; calibrate with
+    # models/quantize.py::calibrate_pw_scales). Sites absent from the
+    # tuple stay bf16, so the accuracy study's "skip-ends" compromise
+    # (heads stay float) falls out of the site list. Justified by
+    # docs/quant_study_r3.json: w8a8 costs ≤0.005 mIoU on the 19-class
+    # fixture set. The reference has no quantized path in-repo (its
+    # Ascend deploy quantizes offline via ATC).
+    folded_pw_impl: str = "conv"
+    pw_act_scales: tuple = ()
+    # Force/disable the Pallas path inside the int8 kernels (None =
+    # auto by backend). The TPU-target lowering test sets True so the
+    # exported graph contains the actual kernels, not the XLA fallback.
+    pw_use_pallas: Any = None
 
     # -- init ---------------------------------------------------------------
     def init(self, key) -> tuple[Params, Params]:
@@ -385,10 +402,63 @@ class FastSCNN:
         ``tools/quant_study.py`` to measure int8 accuracy before any
         int8 kernel work. ``None`` (the default) adds nothing to the
         traced graph."""
-        aq = self.act_fake_quant or (lambda y: y)
+        hook = self.act_fake_quant
+        if hook is None:
+            aq = lambda y, site=None: y  # noqa: E731
+        else:
+            import inspect
 
-        def cbr(p, y, stride=1, padding=0, groups=1, relu=True):
-            y = conv2d(aq(y), p["w"], p["b"], stride=stride, padding=padding, groups=groups)
+            try:
+                _params = inspect.signature(hook).parameters
+                _takes_site = "site" in _params or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD for p in _params.values()
+                )
+            except (ValueError, TypeError):
+                _takes_site = False
+            if _takes_site:
+                aq = hook
+            else:  # site-less y→y hooks keep working
+                aq = lambda y, site=None: hook(y)  # noqa: E731
+
+        int8_scales = dict(self.pw_act_scales) if self.folded_pw_impl != "conv" else {}
+
+        def pw_int8(p, y, site, relu):
+            """Route one 1×1 conv through the fused int8 kernel: quantize
+            the input (fuses into the producer's epilogue), fold the
+            activation scale into the weights at trace time, keep the
+            accumulator in VMEM (ops/pallas/int8_pw.py)."""
+            from fastscnn_tpu.ops.pallas.int8_pw import (
+                pw_conv_a8,
+                pw_conv_w8a8,
+                quantize_act,
+            )
+
+            s = int8_scales[site]
+            if p["w"].shape[:2] != (1, 1):
+                raise ValueError(f"int8 pw site {site!r} is not a 1×1 conv: {p['w'].shape}")
+            q = quantize_act(y, s)
+            w2 = p["w"][0, 0]  # HWIO 1×1 → (cin, cout)
+            if self.folded_pw_impl == "int8-a8":
+                return pw_conv_a8(
+                    q, (w2.astype(jnp.float32) * s).astype(jnp.bfloat16), p["b"],
+                    relu=relu, use_pallas=self.pw_use_pallas,
+                )
+            # 'int8-w8a8': per-channel weight quantization (the study's
+            # w8-perchan grid) + the native s8×s8→s32 MXU dot
+            wf = w2.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(wf), axis=0)
+            s_w = jnp.where(amax > 0, amax / 127.0, 1.0)
+            w_q = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+            return pw_conv_w8a8(
+                q, w_q, s * s_w, p["b"], relu=relu, use_pallas=self.pw_use_pallas,
+            )
+
+        def cbr(p, y, stride=1, padding=0, groups=1, relu=True, site=None):
+            if site is not None and site in int8_scales:
+                return pw_int8(p, y, site, relu)
+            y = conv2d(
+                aq(y, site), p["w"], p["b"], stride=stride, padding=padding, groups=groups
+            )
             return jax.nn.relu(y) if relu else y
 
         def cbr_dw_alt(p, y, stride):
@@ -399,7 +469,7 @@ class FastSCNN:
 
             return dw_conv3x3_pallas(y, p["w"], p["b"], stride=stride, padding=1, relu=True)
 
-        def ds(p, y, stride=1, dw_alt=False):
+        def ds(p, y, stride=1, dw_alt=False, site=None):
             if self.folded_dw_impl in ("fused-ds", "fused-ds-mr") and dw_alt:
                 # whole DSConv in one kernel: the dw intermediate never
                 # touches HBM; '-mr' = multi-row double-buffered manual-DMA
@@ -421,14 +491,20 @@ class FastSCNN:
             if dw_alt:
                 y = cbr_dw_alt(p["dw"], y, stride)
             else:
-                y = cbr(p["dw"], y, stride=stride, padding=1, groups=y.shape[-1])
-            return cbr(p["pw"], y)
+                y = cbr(
+                    p["dw"], y, stride=stride, padding=1, groups=y.shape[-1],
+                    site=site and f"{site}/dw",
+                )
+            return cbr(p["pw"], y, site=site and f"{site}/pw")
 
-        def bottleneck(p, y, stride):
+        def bottleneck(p, y, stride, site=None):
             cin = y.shape[-1]
-            z = cbr(p["expand"], y)
-            z = cbr(p["dw"], z, stride=stride, padding=1, groups=z.shape[-1])
-            z = cbr(p["project"], z, relu=False)
+            z = cbr(p["expand"], y, site=site and f"{site}/expand")
+            z = cbr(
+                p["dw"], z, stride=stride, padding=1, groups=z.shape[-1],
+                site=site and f"{site}/dw",
+            )
+            z = cbr(p["project"], z, relu=False, site=site and f"{site}/project")
             if stride == 1 and cin == z.shape[-1]:
                 z = y + z
             return z
@@ -437,25 +513,31 @@ class FastSCNN:
         p = fparams
         # LTD
         dw_alt = self.folded_dw_impl in ("taps", "pallas", "fused-ds", "fused-ds-mr")
-        y = cbr(p["learning_to_downsample"]["conv"], x, stride=2)
-        y = ds(p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_alt=dw_alt)
-        higher = ds(p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_alt=dw_alt)
+        y = cbr(p["learning_to_downsample"]["conv"], x, stride=2, site="ltd/conv")
+        y = ds(
+            p["learning_to_downsample"]["dsconv1"], y, stride=2, dw_alt=dw_alt,
+            site="ltd/dsconv1",
+        )
+        higher = ds(
+            p["learning_to_downsample"]["dsconv2"], y, stride=2, dw_alt=dw_alt,
+            site="ltd/dsconv2",
+        )
         # GFE
         y = higher
         g = p["global_feature_extractor"]
         for name, stride in (("bottleneck1", 2), ("bottleneck2", 2), ("bottleneck3", 1)):
             for i, bp in enumerate(g[name]):
-                y = bottleneck(bp, y, stride if i == 0 else 1)
+                y = bottleneck(bp, y, stride if i == 0 else 1, site=f"gfe/{name}/{i}")
         psize = (y.shape[1], y.shape[2])
         feats = [y]
         for conv_name, pool_size in zip(("conv1", "conv2", "conv3", "conv4"), self.ppm_sizes):
             z = adaptive_avg_pool(y, pool_size)
-            z = cbr(g["ppm"][conv_name], z)
+            z = cbr(g["ppm"][conv_name], z, site=f"gfe/ppm/{conv_name}")
             feats.append(
                 resize_bilinear_matmul(z, psize, align_corners=self.ppm_align_corners)
             )
         y = jnp.concatenate(feats, axis=-1)
-        lower = cbr(g["ppm"]["out"], y)
+        lower = cbr(g["ppm"]["out"], y, site="gfe/ppm/out")
         # FFM
         f = p["feature_fusion"]
         # Matmul-formulated resizes in the folded (serving) graph: the FFM
@@ -464,21 +546,21 @@ class FastSCNN:
         lo = resize_bilinear_matmul(
             lower, (higher.shape[1], higher.shape[2]), align_corners=True
         )
-        lo = cbr(f["dwconv"], lo, padding=1, groups=lo.shape[-1])
-        lo = cbr(f["conv_lower_res"], lo, relu=False)
-        hi = cbr(f["conv_higher_res"], higher, relu=False)
+        lo = cbr(f["dwconv"], lo, padding=1, groups=lo.shape[-1], site="ffm/dwconv")
+        lo = cbr(f["conv_lower_res"], lo, relu=False, site="ffm/conv_lower_res")
+        hi = cbr(f["conv_higher_res"], higher, relu=False, site="ffm/conv_higher_res")
         fused = jax.nn.relu(hi + lo)
         # Classifier
         c = p["classifier"]
-        y = ds(c["dsconv1"], fused)
-        y = ds(c["dsconv2"], y)
-        logits = conv2d(aq(y), c["conv"]["w"], c["conv"]["b"])
+        y = ds(c["dsconv1"], fused, site="cls/dsconv1")
+        y = ds(c["dsconv2"], y, site="cls/dsconv2")
+        logits = conv2d(aq(y, "cls/conv"), c["conv"]["w"], c["conv"]["b"])
         if upsample_outputs:
             logits = resize_bilinear_matmul(logits, size, align_corners=True)
         if self.aux and "auxlayer" in p:
             a = p["auxlayer"]
-            z = cbr(a["conv1"], higher, padding=1)
-            auxout = conv2d(aq(z), a["conv2"]["w"], a["conv2"]["b"])
+            z = cbr(a["conv1"], higher, padding=1, site="aux/conv1")
+            auxout = conv2d(aq(z, "aux/conv2"), a["conv2"]["w"], a["conv2"]["b"])
             if upsample_outputs:
                 auxout = resize_bilinear_matmul(auxout, size, align_corners=True)
             return (logits, auxout)

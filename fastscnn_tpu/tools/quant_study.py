@@ -100,7 +100,9 @@ class ActQuantHook:
         self.site_shapes = []
         self._idx = 0
 
-    def __call__(self, y):
+    def __call__(self, y, site=None):
+        # `site` (the apply_folded conv-site label) is accepted for the
+        # shared hook protocol; this study keys by call index instead.
         import jax.numpy as jnp
 
         i = self._idx

@@ -187,3 +187,118 @@ def test_layer_recipe_matches_quant_study_simulation(rng):
     # w_q*s_w == w exactly (w is already on the int8 grid), so the only
     # difference vs sim is accumulation precision (int32 exact vs bf16)
     np.testing.assert_allclose(got2, sim, rtol=2e-2, atol=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Serving-graph wiring: folded_pw_impl='int8-a8'/'int8-w8a8' + calibration
+# ---------------------------------------------------------------------------
+
+
+class _SiteFakeQuant:
+    """Value-level simulation hook: int8 quant-dequant at exactly the
+    given sites (what the accuracy study validated, keyed by site)."""
+
+    def __init__(self, scales):
+        self.scales = dict(scales)
+
+    def __call__(self, y, site=None):
+        s = self.scales.get(site)
+        if s is None:
+            return y
+        q = jnp.clip(jnp.round(y.astype(jnp.float32) / s), -127, 127)
+        return (q * s).astype(y.dtype)
+
+
+def _small_folded(rng, num_classes=3):
+    from fastscnn_tpu.models import FastSCNN, fold_inference_params, init_fast_scnn
+
+    model = FastSCNN(num_classes=num_classes)
+    params, state = init_fast_scnn(jax.random.PRNGKey(5), num_classes)
+    folded = fold_inference_params(params, state, dtype=jnp.bfloat16)
+    return model, folded
+
+
+def test_calibrate_pw_scales_covers_all_sites(rng):
+    from fastscnn_tpu.models import PW_INT8_SITES, calibrate_pw_scales
+
+    model, folded = _small_folded(rng)
+    batches = [rng.normal(0, 1, (1, 64, 96, 3)).astype(np.float32) for _ in range(2)]
+    scales = calibrate_pw_scales(model, folded, batches)
+    assert {k for k, _ in scales} == set(PW_INT8_SITES)
+    assert all(s > 0 for _, s in scales)
+    # deterministic + hashable (usable in jit cache keys via the model)
+    assert scales == calibrate_pw_scales(model, folded, batches)
+    hash(scales)
+
+
+def test_quantized_model_matches_fakequant_simulation(rng):
+    """int8-a8 apply_folded == the site-keyed fake-quant simulation (the
+    grid the accuracy study validated) up to bf16 weight-fold rounding:
+    logits close, masks in near-total agreement."""
+    import dataclasses as dc
+
+    from fastscnn_tpu.models import calibrate_pw_scales, quantized_model
+
+    model, folded = _small_folded(rng)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 96, 3)), jnp.bfloat16)
+    scales = calibrate_pw_scales(model, folded, [x])
+
+    qmodel = quantized_model(model, scales)  # XLA fallback on CPU
+    got = qmodel.apply_folded(folded, x, upsample_outputs=False)[0]
+
+    sim_model = dc.replace(model, act_fake_quant=_SiteFakeQuant(scales))
+    sim = sim_model.apply_folded(folded, x, upsample_outputs=False)[0]
+
+    got32, sim32 = np.asarray(got, np.float32), np.asarray(sim, np.float32)
+    scale = max(1.0, float(np.abs(sim32).max()))
+    assert np.abs(got32 - sim32).max() / scale < 0.08
+    mask_agree = (got32.argmax(-1) == sim32.argmax(-1)).mean()
+    assert mask_agree > 0.98, f"mask agreement {mask_agree:.4f}"
+
+
+def test_quantized_model_w8a8_close_to_a8(rng):
+    from fastscnn_tpu.models import calibrate_pw_scales, quantized_model
+
+    model, folded = _small_folded(rng)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)), jnp.bfloat16)
+    scales = calibrate_pw_scales(model, folded, [x])
+    a8 = quantized_model(model, scales).apply_folded(folded, x, upsample_outputs=False)[0]
+    w8 = quantized_model(model, scales, impl="int8-w8a8").apply_folded(
+        folded, x, upsample_outputs=False
+    )[0]
+    a, b = np.asarray(a8, np.float32), np.asarray(w8, np.float32)
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree > 0.97, f"a8 vs w8a8 mask agreement {agree:.4f}"
+
+
+def test_quantized_serving_graph_lowers_for_tpu_target(rng):
+    """Whole int8 serving graph (Pallas kernels forced) lowers through
+    Mosaic for the TPU target — the offline compile-safety gate."""
+    from fastscnn_tpu.models import calibrate_pw_scales, quantized_model
+
+    model, folded = _small_folded(rng)
+    calib = jnp.asarray(rng.normal(0, 1, (1, 64, 128, 3)), jnp.bfloat16)
+    scales = calibrate_pw_scales(model, folded, [calib])
+    for impl in ("int8-a8", "int8-w8a8"):
+        qmodel = quantized_model(model, scales, impl=impl, use_pallas=True)
+        fn = lambda x: qmodel.apply_folded(folded, x, upsample_outputs=False)[0]
+        jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            jax.ShapeDtypeStruct((1, 256, 512, 3), jnp.bfloat16)
+        )
+
+
+def test_calibrate_rejects_unreached_sites(rng):
+    from fastscnn_tpu.models import calibrate_pw_scales
+
+    model, folded = _small_folded(rng)
+    x = rng.normal(0, 1, (1, 64, 96, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="never reached"):
+        calibrate_pw_scales(model, folded, [x], sites=("not/a/site",))
+
+
+def test_quantized_model_rejects_unknown_impl(rng):
+    from fastscnn_tpu.models import quantized_model
+
+    model, _ = _small_folded(rng)
+    with pytest.raises(ValueError, match="unknown int8 pw impl"):
+        quantized_model(model, (), impl="int4")
