@@ -134,6 +134,7 @@ class InferenceEngine:
         self._uses_pallas = (
             getattr(model, "folded_dw_impl", "conv")
             in ("pallas", "fused-ds", "fused-ds-mr")
+            or getattr(model, "folded_pw_impl", "conv") != "conv"
             or config.final_upsample in ("pallas", "hybrid-pallas")
         )
         if (

@@ -64,6 +64,15 @@ def quantize_act(x, scale):
     return q.astype(jnp.int8)
 
 
+def _auto_block_m(k: int, n: int) -> int:
+    """Row-block target sized so one grid step's in+out tile is ~2 MB —
+    big enough to amortize DMA issue, small enough to double-buffer in
+    VMEM (clamped to [256, 8192]). This is the tiling the per-op A/B
+    measured its wins with (tools/ab_int8_pw.py, docs/ab_int8_pw_r3.json);
+    the serving graph's wiring inherits it via ``block_m=None``."""
+    return 1 << max(8, min(13, (2**21 // (k + 2 * n)).bit_length() - 1))
+
+
 def _pick_block_m(m: int, target: int) -> int:
     """Largest power-of-two divisor of m that is ≤ target and ≥ 32 (the
     int8 sublane tile); 0 if none exists (caller falls back to XLA)."""
@@ -140,7 +149,7 @@ def pw_conv_a8(
     relu: bool = True,
     quantize_out: bool = False,
     use_pallas: bool | None = None,
-    block_m: int = 1024,
+    block_m: int | None = None,
     interpret: bool = False,
 ):
     """Pointwise conv on int8 activations with bf16 effective weights.
@@ -159,7 +168,7 @@ def pw_conv_a8(
     n = w_eff.shape[1]
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
-    bm = _pick_block_m(m, block_m)
+    bm = _pick_block_m(m, block_m if block_m is not None else _auto_block_m(k, n))
     if not (use_pallas or interpret) or bm == 0:
         out = _xla_a8(x2, w_eff, b_eff, relu, quantize_out)
     else:
@@ -194,7 +203,7 @@ def pw_conv_w8a8(
     relu: bool = True,
     quantize_out: bool = False,
     use_pallas: bool | None = None,
-    block_m: int = 1024,
+    block_m: int | None = None,
     interpret: bool = False,
 ):
     """Pointwise conv with BOTH operands int8 (native MXU s8×s8→s32 dot).
@@ -209,7 +218,7 @@ def pw_conv_w8a8(
     n = w_q.shape[1]
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
-    bm = _pick_block_m(m, block_m)
+    bm = _pick_block_m(m, block_m if block_m is not None else _auto_block_m(k, n))
     if not (use_pallas or interpret) or bm == 0:
         out = _xla_w8a8(x2, w_q, cs, b_eff, relu, quantize_out)
     else:

@@ -129,6 +129,19 @@ def test_pick_block_m():
     assert _pick_block_m(31, 1024) == 0
 
 
+def test_auto_block_m_matches_measured_tiling():
+    """block_m=None reproduces the tiling docs/ab_int8_pw_r3.json was
+    measured with (~2 MB in+out per grid step, clamped to [256, 8192])."""
+    from fastscnn_tpu.ops.pallas.int8_pw import _auto_block_m
+
+    assert _auto_block_m(32, 48) == 8192  # ds1-pw
+    assert _auto_block_m(64, 384) == 2048  # b1.1-expand
+    assert _auto_block_m(128, 128) == 4096  # ffm-low / cls
+    assert _auto_block_m(384, 64) == 4096  # b1.1-project
+    assert _auto_block_m(10_000, 10_000) == 256  # clamp low
+    assert _auto_block_m(1, 1) == 8192  # clamp high
+
+
 def test_int8_kernels_lower_for_tpu_target():
     """Cross-platform Mosaic lowering (same offline compile-safety gate as
     the other Pallas kernels): int8 VMEM tiles, the s8×s8→s32 MXU dot,

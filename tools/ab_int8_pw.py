@@ -79,10 +79,11 @@ def _time_loop(build_fn, x0, iters, repeat):
 
 
 def _auto_block_m(k, n):
-    """Row-block size targeting ~2 MB of in+out tile per grid step (big
-    enough to amortize DMA issue, small enough to double-buffer in VMEM)."""
-    bm = 1 << max(8, min(13, (2**21 // (k + 2 * n)).bit_length() - 1))
-    return bm
+    """The kernels' own auto tiling (so the A/B measures what deployment
+    runs)."""
+    from fastscnn_tpu.ops.pallas.int8_pw import _auto_block_m as auto
+
+    return auto(k, n)
 
 
 def run_site(name, m, k, n, iters, repeat, rng, block_m=None):
