@@ -19,6 +19,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import numpy as np
@@ -51,8 +52,9 @@ def parse_args(argv=None):
                         help="stablehlo: XLA-ecosystem artifact (TPU/GPU/CPU via "
                              "PJRT); tflite: LiteRT flatbuffer for edge devices "
                              "(the Atlas-200 analogue); savedmodel: TF-Serving; "
-                             "onnx: interchange graph (needs onnx+tf2onnx "
-                             "installed; reference:export_onnx_fixed.py:308-318)")
+                             "onnx: the reference's shipped deploy format, "
+                             "emitted self-contained (no onnx package needed; "
+                             "reference:export_onnx_fixed.py:308-318)")
     parser.add_argument("--fp16", action="store_true", default=False,
                         help="tflite only: post-training float16 weight "
                              "quantization (the reference's ATC deploy precision)")
@@ -182,23 +184,47 @@ def main(argv=None):
         )
         loaded = TFLiteModel(path)
     elif args.format == "onnx":
-        from fastscnn_tpu.engine.export import export_onnx
+        # Self-contained emission: the ModelProto is hand-encoded (no
+        # onnx/tf2onnx needed — engine/onnx_native.py), mirroring the
+        # reference's shipped artifact (reference:export_onnx_fixed.py:308-318)
+        # but with EXACT adaptive pooling at any resolution (the reference's
+        # ATC export changed pool sizes and accepted 0.38% pixel drift).
+        from fastscnn_tpu.engine.onnx_native import (
+            emit_fastscnn_onnx, parse_onnx, run_onnx,
+        )
+        from fastscnn_tpu.models.fast_scnn import fold_inference_params
 
-        try:
-            path = export_onnx(fn, specs, args.output, metadata=metadata)
-        except RuntimeError as e:
-            raise SystemExit(str(e))
+        folded = jax.tree.map(
+            lambda a: np.asarray(a, np.float32),
+            fold_inference_params(params, state, dtype=jnp.float32),
+        )
+        emit_fastscnn_onnx(
+            model, folded, (args.batch, 3, args.input_height, args.input_width),
+            args.output, internal_size=internal, mean=mean, std=std,
+            output="softmax" if args.softmax else "mask",
+        )
+        with open(args.output + ".json", "w") as f:
+            json.dump(dict(metadata, format="onnx", opset=13), f, indent=2)
+        path = args.output
         try:
             import onnxruntime as ort
 
             sess = ort.InferenceSession(path)
             iname = sess.get_inputs()[0].name
-            loaded = lambda x: sess.run(None, {iname: np.asarray(x)})[0]
+            backend = lambda x: sess.run(None, {iname: np.asarray(x)})[0]
+            print("artifact smoke test backend: onnxruntime")
         except ImportError:
-            print("onnxruntime not installed: skipping artifact smoke test")
-            size = os.path.getsize(path)
-            print(f"exported {path} ({size} bytes, format onnx)")
-            return path
+            with open(path, "rb") as f:
+                parsed = parse_onnx(f.read())
+            in_name = parsed.graph.inputs[0].name
+            backend = lambda x: next(iter(run_onnx(parsed, {in_name: x}).values()))
+            print("onnxruntime not installed: smoke-testing the artifact with "
+                  "the built-in numpy ONNX evaluator (may take ~a minute)")
+
+        def loaded(images_nhwc_u8):
+            x = np.asarray(images_nhwc_u8).transpose(0, 3, 1, 2).astype(np.float32)
+            out = np.asarray(backend(x))
+            return out.transpose(0, 2, 3, 1) if args.softmax else out
     else:
         from fastscnn_tpu.engine.export import export_savedmodel
 

