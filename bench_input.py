@@ -124,6 +124,25 @@ def main():
         threads = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
                              num_workers=args.workers)
         row["threads_sps"] = round(measure_loader(threads, n_epochs=2), 2)
+
+        # decode-once cache (data/decoded_cache.py): epoch 1 below fills it
+        # (decode + write), epoch 2 measures the steady state every later
+        # epoch of a real run sees — decode was measured at 54% of the
+        # per-record cost, so this is the implemented "pre-decoded array
+        # records" fix from the study.
+        from fastscnn_tpu.data import decoded_cache
+
+        cache_dir = os.path.join(args.workdir, f"decoded_{name}")
+        decoded_cache.set_cache_dir(cache_dir)
+        try:
+            fill = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                              num_workers=args.workers)
+            row["threads_cache_fill_sps"] = round(measure_loader(fill, n_epochs=1), 2)
+            warm = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                              num_workers=args.workers)
+            row["threads_cached_sps"] = round(measure_loader(warm, n_epochs=2), 2)
+        finally:
+            decoded_cache.set_cache_dir(None)
         try:
             grain = GrainDataLoader(ds, batch_size=args.batch_size, shuffle=True,
                                     seed=0, num_workers=args.workers, num_epochs=2)
@@ -131,7 +150,8 @@ def main():
         except Exception as e:  # grain missing / platform limits
             row["grain_sps"] = None
             row["grain_error"] = str(e)[:200]
-        print(f"{name}: threads {row['threads_sps']} samples/s, "
+        print(f"{name}: threads {row['threads_sps']} samples/s "
+              f"(decoded-cache warm {row['threads_cached_sps']}), "
               f"grain {row['grain_sps']} samples/s "
               f"(crop {r['crop_size']}, bs {args.batch_size}, "
               f"{args.workers} workers, {ncores} cores)", file=sys.stderr)
@@ -161,6 +181,20 @@ def main():
             row["e2e_train_sps"] = round(steps * args.batch_size / wall, 2)
             print(f"{name}: end-to-end train {row['e2e_train_sps']} samples/s "
                   f"({steps} steady-state steps)", file=sys.stderr)
+            # same steady-state epochs with the decoded cache on
+            # (pre-filled by the loader measurement above)
+            decoded_cache.set_cache_dir(cache_dir)
+            try:
+                tr.args.start_epoch, tr.args.epochs = 1, 1 + args.train_epochs
+                t0 = time.perf_counter()
+                tr.train()
+                wall = time.perf_counter() - t0
+                row["e2e_train_cached_sps"] = round(
+                    steps * args.batch_size / wall, 2)
+            finally:
+                decoded_cache.set_cache_dir(None)
+            print(f"{name}: end-to-end train, decoded cache on: "
+                  f"{row['e2e_train_cached_sps']} samples/s", file=sys.stderr)
         out["recipes"][name] = row
 
     print(json.dumps(out))

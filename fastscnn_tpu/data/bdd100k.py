@@ -15,6 +15,7 @@ import random as _random
 import numpy as np
 from PIL import Image
 
+from fastscnn_tpu.data import decoded_cache
 from fastscnn_tpu.data.transforms import SyncTransforms
 
 __all__ = ["BDD100KSegmentation"]
@@ -104,10 +105,10 @@ class BDD100KSegmentation:
         return np.clip(mask, 0, 2).astype(np.int32)
 
     def __getitem__(self, index):
-        img = Image.open(self.images[index]).convert("RGB")
+        img = decoded_cache.open_rgb(self.images[index])
         if self.mode == "test":
             return np.asarray(img, np.uint8), os.path.basename(self.images[index])
-        mask = Image.open(self.mask_paths[index])
+        mask = decoded_cache.open_image(self.mask_paths[index])
         if self.mode == "train":
             if self.keep_original_size:
                 img, mask = self.tf.original_size(img, mask)

@@ -19,6 +19,7 @@ import random as _random
 import numpy as np
 from PIL import Image
 
+from fastscnn_tpu.data import decoded_cache
 from fastscnn_tpu.data.transforms import SyncTransforms
 
 __all__ = ["CustomDataset"]
@@ -98,10 +99,10 @@ class CustomDataset:
 
     def __getitem__(self, index):
         basename = self.filenames[index]
-        image = Image.open(self._find_image(basename)).convert("RGB")
+        image = decoded_cache.open_rgb(self._find_image(basename))
         if self.mode == "test":
             return np.asarray(image, np.uint8), basename
-        mask_arr = np.asarray(Image.open(os.path.join(self.masks_root, basename + ".png")))
+        mask_arr = np.asarray(decoded_cache.open_image(os.path.join(self.masks_root, basename + ".png")))
         if mask_arr.ndim == 3:
             mask_arr = mask_arr[:, :, 0]
         mask = Image.fromarray((mask_arr > 128).astype(np.uint8))

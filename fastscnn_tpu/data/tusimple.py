@@ -12,6 +12,7 @@ import os
 import numpy as np
 from PIL import Image
 
+from fastscnn_tpu.data import decoded_cache
 from fastscnn_tpu.data.transforms import SyncTransforms
 
 __all__ = ["TUSimpleSegmentation"]
@@ -78,10 +79,10 @@ class TUSimpleSegmentation:
         return np.where(mask.astype(np.int32) > 0, 1, 0).astype(np.int32)
 
     def __getitem__(self, index):
-        img = Image.open(self.images[index]).convert("RGB")
+        img = decoded_cache.open_rgb(self.images[index])
         if self.mode == "test":
             return np.asarray(img, np.uint8), os.path.basename(self.images[index])
-        mask = Image.open(self.mask_paths[index])
+        mask = decoded_cache.open_image(self.mask_paths[index])
         if self.mode == "train":
             img, mask = self.tf.train(img, mask)
         elif self.mode == "val":

@@ -60,12 +60,33 @@ def compare_backends(
     )
     masks["bf16"] = bf16.predict(images)
 
-    # 3. exported artifact
+    # 3. exported artifact — StableHLO, or an emitted .onnx evaluated by
+    # onnxruntime when installed / the built-in numpy evaluator otherwise
+    # (the reference's gate compares exactly its shipped ONNX artifact,
+    # reference:compare_pytorch_onnx.py:88-112)
     if export_path and os.path.exists(export_path):
-        from fastscnn_tpu.engine.export import load_exported
+        if export_path.endswith(".onnx"):
+            from fastscnn_tpu.engine.onnx_native import parse_onnx, run_onnx
 
-        out = np.asarray(load_exported(export_path)(images))
-        masks["export"] = out.argmax(-1) if out.ndim == 4 else out
+            x = np.transpose(images, (0, 3, 1, 2)).astype(np.float32)
+            try:
+                import onnxruntime as ort
+
+                sess = ort.InferenceSession(export_path)
+                out = sess.run(None, {sess.get_inputs()[0].name: x})[0]
+            except ImportError:
+                with open(export_path, "rb") as f:
+                    parsed = parse_onnx(f.read())
+                out = next(iter(
+                    run_onnx(parsed, {parsed.graph.inputs[0].name: x}).values()
+                ))
+            out = np.asarray(out)
+            masks["onnx"] = out.argmax(1) if out.ndim == 4 else out
+        else:
+            from fastscnn_tpu.engine.export import load_exported
+
+            out = np.asarray(load_exported(export_path)(images))
+            masks["export"] = out.argmax(-1) if out.ndim == 4 else out
 
     # 4. reference torch model with the same weights
     if torch_model is not None:

@@ -71,6 +71,11 @@ def parse_args(argv=None):
     parser.add_argument("--loader", type=str, default="threads", choices=["threads", "grain"],
                         help="input pipeline: threaded prefetch (default) or Grain "
                              "(multiprocess workers, per-record deterministic aug)")
+    parser.add_argument("--decoded-cache", type=str, default=None, metavar="DIR",
+                        help="decode-once image cache directory (data/decoded_cache.py): "
+                             "first epoch decodes and stores raw arrays, later epochs "
+                             "skip PNG/JPEG decode — the measured 54%% of per-record "
+                             "cost (docs/PERFORMANCE.md input-pipeline study)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--stem-impl", type=str, default="xla",
                         choices=["xla", "tapbwd", "taps", "taps-packbn", "pallas"],
@@ -150,6 +155,10 @@ class Trainer:
         from fastscnn_tpu.utils.monitor import TrainingMonitor
 
         self.args = args
+        if getattr(args, "decoded_cache", None):
+            from fastscnn_tpu.data import decoded_cache
+
+            decoded_cache.set_cache_dir(args.decoded_cache)
         root = args.data_root or _DEFAULT_ROOTS[args.dataset]
         ds_kwargs = dict(root=root, base_size=args.base_size, crop_size=args.crop_size)
         if args.dataset == "bdd100k":

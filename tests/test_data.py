@@ -8,6 +8,7 @@ produce identical images and masks.
 import os
 import random
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -346,3 +347,60 @@ def test_grain_loader_epochs_vary_augmentation(custom_tree):
     epoch1 = np.concatenate([b[0].ravel() for b in batches[:half]])
     epoch2 = np.concatenate([b[0].ravel() for b in batches[half:]])
     assert not np.array_equal(epoch1, epoch2), "identical augs across epochs"
+
+
+def test_decoded_cache_bit_identity_hits_and_staleness(city_tree, tmp_path):
+    """data/decoded_cache.py — the implemented 'pre-decoded array records'
+    fix from the input-pipeline study (docs/PERFORMANCE.md: decode is 54%
+    of per-record cost). Gates: (1) cached reads are bit-identical to
+    fresh decodes in both deterministic (testval) and seeded-aug (train)
+    modes; (2) the second epoch is all cache hits; (3) rewriting a source
+    file invalidates its entry (mtime/size keying)."""
+    import random
+
+    from fastscnn_tpu.data import decoded_cache
+
+    kw = dict(root=city_tree, split="val", mode="testval",
+              base_size=64, crop_size=48)
+    ds = get_segmentation_dataset("citys", **kw)
+    plain = [ds[i] for i in range(len(ds))]
+
+    cache_dir = str(tmp_path / "decoded")
+    decoded_cache.set_cache_dir(cache_dir)
+    try:
+        s0 = decoded_cache.stats()
+        first = [ds[i] for i in range(len(ds))]
+        s1 = decoded_cache.stats()
+        assert s1["misses"] - s0["misses"] == 2 * len(ds)  # img + mask each
+        second = [ds[i] for i in range(len(ds))]
+        s2 = decoded_cache.stats()
+        assert s2["hits"] - s1["hits"] == 2 * len(ds)
+        assert s2["misses"] == s1["misses"]
+        for (pi, pm), (ai, am), (bi, bm) in zip(plain, first, second):
+            np.testing.assert_array_equal(pi, ai)
+            np.testing.assert_array_equal(pm, am)
+            np.testing.assert_array_equal(pi, bi)
+            np.testing.assert_array_equal(pm, bm)
+
+        # seeded-aug train mode: cache on/off must see identical streams
+        ds_train = get_segmentation_dataset(
+            "citys", root=city_tree, split="train", base_size=64, crop_size=48
+        )
+        random.seed(1234)
+        with_cache = ds_train[0]
+        decoded_cache.set_cache_dir(None)
+        random.seed(1234)
+        without_cache = ds_train[0]
+        np.testing.assert_array_equal(with_cache[0], without_cache[0])
+        np.testing.assert_array_equal(with_cache[1], without_cache[1])
+
+        # staleness: rewrite one source image; entry must re-decode
+        decoded_cache.set_cache_dir(cache_dir)
+        img_path = ds.images[0]
+        new = np.full((128, 256, 3), 42, dtype=np.uint8)
+        Image.fromarray(new).save(img_path)
+        os.utime(img_path, (time.time() + 2, time.time() + 2))
+        refreshed = ds[0][0]
+        assert (np.asarray(refreshed) == 42).all()
+    finally:
+        decoded_cache.set_cache_dir(None)

@@ -66,6 +66,30 @@ def test_backend_parity_gate(small_setup, tmp_path):
     assert results["f32_vs_bf16"] < 0.005
 
 
+def test_backend_parity_gate_onnx_artifact(small_setup, tmp_path):
+    """The reference's gate compares its SHIPPED artifact (the E2E ONNX,
+    reference:compare_pytorch_onnx.py:88-112); ours now does too — the
+    self-contained emitted .onnx is a first-class backend in the tool."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.engine.onnx_native import emit_fastscnn_onnx
+    from fastscnn_tpu.models.fast_scnn import fold_inference_params
+
+    model, params, state = small_setup
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (1, 96, 160, 3), dtype=np.uint8)
+    folded = jax.tree.map(
+        lambda a: np.asarray(a, np.float32),
+        fold_inference_params(params, state, dtype=jnp.float32),
+    )
+    path = str(tmp_path / "m.onnx")
+    emit_fastscnn_onnx(model, folded, (1, 3, 96, 160), path, output="mask")
+    results = compare_backends(model, params, state, images, export_path=path)
+    # f32 engine vs the ONNX artifact must be exact (same math, f32)
+    assert results["f32_vs_onnx"] == 0.0
+
+
 @requires_reference
 @requires_torch
 def test_parity_gate_vs_reference_torch(tmp_path):
