@@ -268,3 +268,20 @@ def test_onnxruntime_parity_when_available():
     sess = ort.InferenceSession(data)
     (out,) = sess.run(None, {"images": _nchw(img)})
     assert (out == np.asarray(eng.predict(img))).all()
+
+
+def test_flagship_emission_structure():
+    """The 19-class flagship shape (1024×2048) emits without a numeric run:
+    feature map 32×64 → bins 3 and 6 don't divide → exact MatMul pooling
+    must appear; artifact stays a few MB (fp32 params dominate)."""
+    model, _, _, folded = _model_and_folded(num_classes=19, seed=12)
+    data = emit_fastscnn_onnx(model, folded, (1, 3, 1024, 2048), output="mask")
+    assert len(data) < 8 * 2 ** 20
+    parsed = parse_onnx(data)
+    ops = [n.op_type for n in parsed.graph.nodes]
+    # 32×64 divides bins 1 and 2 (AveragePool) but not 3 and 6 (exact
+    # adaptive bins → one MatMul pair each)
+    assert ops.count("MatMul") == 2 * 2
+    assert "AveragePool" in ops
+    out = parsed.graph.outputs[0]
+    assert out.name == "mask" and list(out.shape) == [1, 1024, 2048]
