@@ -829,6 +829,8 @@ def run_onnx(model, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         elif op == "MatMul":
             y = np.matmul(ins[0], ins[1]).astype(np.float32)
         elif op == "AveragePool":
+            if any(a.get("pads", [])):
+                raise NotImplementedError("padded AveragePool")
             y = _np_avgpool(ins[0], a["kernel_shape"], a.get("strides", a["kernel_shape"]))
         elif op == "GlobalAveragePool":
             y = ins[0].mean(axis=(2, 3), keepdims=True)
