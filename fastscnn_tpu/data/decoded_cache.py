@@ -98,12 +98,10 @@ def open_image(path: str, convert: str | None = None):
     img = Image.open(path)
     if convert:
         img = img.convert(convert)
-    cache_mode = _ARRAY_MODES.get(img.mode)
-    if cache_mode is None:
+    if img.mode not in _ARRAY_MODES:
         return img  # exotic mode: serve undecoded, don't cache
-    if cache_mode != img.mode:
-        # 'P' → palette indices; np.asarray already yields exactly those
-        pass
+    # ('P' caches as its palette INDICES — np.asarray yields exactly those,
+    # and the datasets only ever use mask pixel values, never palette colors)
     arr = np.asarray(img)
     with _lock:
         _misses += 1
