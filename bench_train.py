@@ -39,8 +39,22 @@ def main():
     num_classes = int(os.environ.get("BENCH_TRAIN_CLASSES", "2"))
     loss_name = os.environ.get("BENCH_TRAIN_LOSS", "dice")
 
+    # BENCH_TRAIN_DEVICE_AUG=1: feed native-resolution batches and run the
+    # PSP aug chain on device inside the step (data/device_aug.py) — the
+    # step-time delta vs the crop-fed step is the aug's device cost.
+    device_aug_on = os.environ.get("BENCH_TRAIN_DEVICE_AUG", "") == "1"
+    src_h, src_w = (
+        int(x) for x in os.environ.get("BENCH_TRAIN_SRC", "1024x2048").split("x")
+    )
+    base_size = int(os.environ.get("BENCH_TRAIN_BASE", "1024"))
+
     stem_impl = os.environ.get("BENCH_TRAIN_STEM", "xla")
     model = FastSCNN(num_classes=num_classes, aux=True, stem_impl=stem_impl)
+    aug = None
+    if device_aug_on:
+        from fastscnn_tpu.data.device_aug import make_device_augment
+
+        aug = make_device_augment(base_size=base_size, crop_size=crop, pad_label=-1)
     schedule = lr_schedule("poly", base_lr=1e-2, niters=10000, power=0.9)
     optimizer = make_optimizer("sgd", schedule)
     loss_fn = get_loss_fn(loss_name, aux=True, num_classes=num_classes)
@@ -48,13 +62,16 @@ def main():
     best_sps, best_batch = 0.0, 0
     rng = np.random.default_rng(0)
     for batch in batches:
-        images = jnp.asarray(rng.integers(0, 256, (batch, crop, crop, 3), dtype=np.uint8))
+        in_h, in_w = (src_h, src_w) if device_aug_on else (crop, crop)
+        images = jnp.asarray(rng.integers(0, 256, (batch, in_h, in_w, 3), dtype=np.uint8))
         targets = jnp.asarray(
-            rng.integers(-1, num_classes, (batch, crop, crop)).astype(np.int32)
+            rng.integers(-1, num_classes, (batch, in_h, in_w)).astype(np.int32)
         )
         state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
 
         def one_step(state, images, targets, key):
+            if aug is not None:
+                images, targets = aug(images, targets, jax.random.fold_in(key, 0x617567))
             x = _normalize(images, None, None, jnp.bfloat16)
 
             def loss_of(params):
@@ -118,7 +135,7 @@ def main():
                     f"train_step_throughput_{crop}x{crop}_{loss_name}_aux_bf16"
                     if num_classes == 2
                     else f"train_step_throughput_{crop}x{crop}_{loss_name}{num_classes}_aux_bf16"
-                ),
+                ) + ("_devaug" if device_aug_on else ""),
                 "value": round(best_sps, 1),
                 "unit": "samples/sec/chip",
                 # The 232.9 samples/s reference baseline is the TuSimple

@@ -25,6 +25,7 @@ class BDD100KSegmentation:
     BASE_DIR = "bdd100k"
     NUM_CLASS = 2
     normalization = "imagenet"
+    DEVICE_AUG_PAD_LABEL = 0  # label-map(raw 0) = 0 for binary and ternary
 
     def __init__(
         self,
@@ -109,6 +110,12 @@ class BDD100KSegmentation:
         if self.mode == "test":
             return np.asarray(img, np.uint8), os.path.basename(self.images[index])
         mask = decoded_cache.open_image(self.mask_paths[index])
+        if self.mode == "device-aug":
+            if self.keep_original_size or self.multi_scale:
+                raise ValueError(
+                    "device-aug supports only the standard PSP train transform"
+                )
+            return np.asarray(img, np.uint8), self._mask_transform(mask)
         if self.mode == "train":
             if self.keep_original_size:
                 img, mask = self.tf.original_size(img, mask)

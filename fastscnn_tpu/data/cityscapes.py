@@ -29,6 +29,9 @@ class CitySegmentation:
     BASE_DIR = "cityscapes"
     NUM_CLASS = 19
     normalization = "imagenet"
+    # device-aug pad fill = remap of the reference's raw-0 pad (label 0
+    # 'unlabeled' → ignore); see data/device_aug.py.
+    DEVICE_AUG_PAD_LABEL = -1
 
     def __init__(
         self,
@@ -59,6 +62,10 @@ class CitySegmentation:
         if self.mode == "test":
             return np.asarray(img, np.uint8), os.path.basename(self.images[index])
         mask = decoded_cache.open_image(self.mask_paths[index])
+        if self.mode == "device-aug":
+            # native resolution + remapped labels; the PSP aug chain runs
+            # on device inside the jitted train step (data/device_aug.py)
+            return np.asarray(img, np.uint8), self._class_to_index(np.asarray(mask, np.int32))
         if self.mode == "train":
             img, mask = self.tf.train(img, mask)
         elif self.mode == "val":

@@ -22,6 +22,7 @@ class TUSimpleSegmentation:
     BASE_DIR = "tusimple"
     NUM_CLASS = 2
     normalization = "imagenet"
+    DEVICE_AUG_PAD_LABEL = 0  # binarize(raw 0) = 0
 
     def __init__(
         self,
@@ -83,6 +84,8 @@ class TUSimpleSegmentation:
         if self.mode == "test":
             return np.asarray(img, np.uint8), os.path.basename(self.images[index])
         mask = decoded_cache.open_image(self.mask_paths[index])
+        if self.mode == "device-aug":
+            return np.asarray(img, np.uint8), self._mask_transform(mask)
         if self.mode == "train":
             img, mask = self.tf.train(img, mask)
         elif self.mode == "val":

@@ -105,10 +105,22 @@ def make_train_step(
     std=IMAGENET_STD,
     spatial_shard: bool = False,
     grad_accum: int = 1,
+    device_aug=None,
 ):
     """Build the jitted sharded train step.
 
     step(state, images_u8, targets_i32, rng) -> (state, {'loss': f32})
+
+    ``device_aug``: optional ``augment(images, masks, key)`` built by
+    :func:`fastscnn_tpu.data.device_aug.make_device_augment`. When set,
+    the step takes *native-resolution* uint8 images and
+    label-transformed masks and performs the PSP augmentation chain on
+    device (batched MXU sampling matmuls) before normalization — the
+    host's only per-record work is decode (or decoded-cache memcpy) and
+    batch assembly. Per-sample randomness comes from the step ``rng``.
+    Incompatible with ``spatial_shard`` (the aug matmuls mix rows
+    across the sharded H axis); dp-sharding is preserved (all aug ops
+    are batch-leading).
 
     With ``mesh``: images/targets sharded batch-wise over 'data' (and H
     over 'space' when ``spatial_shard``), state replicated.
@@ -131,6 +143,8 @@ def make_train_step(
     """
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if device_aug is not None and spatial_shard:
+        raise ValueError("device_aug is incompatible with spatial_shard")
 
     img_spec = ["data", None, None, None]
     tgt_spec = ["data", None, None]
@@ -156,7 +170,10 @@ def make_train_step(
         return loss, new_model_state, grads
 
     def step(state: TrainState, images, targets, rng):
+        aug_key = jax.random.fold_in(rng, 0x617567) if device_aug is not None else None
         if grad_accum == 1:
+            if device_aug is not None:
+                images, targets = device_aug(images, targets, aug_key)
             x = _normalize(images, mean, std, compute_dtype)
             loss, new_model_state, grads = grads_of(
                 state.params, state.model_state, x, targets, rng
@@ -188,6 +205,8 @@ def make_train_step(
             def micro(carry, xs):
                 i, xi_u8, ti = xs
                 model_state, grad_acc, loss_acc = carry
+                if device_aug is not None:
+                    xi_u8, ti = device_aug(xi_u8, ti, jax.random.fold_in(aug_key, i))
                 xi = _normalize(xi_u8, mean, std, compute_dtype)
                 loss, model_state, grads = grads_of(
                     state.params, model_state, xi, ti, jax.random.fold_in(rng, i)

@@ -76,6 +76,12 @@ def parse_args(argv=None):
                              "first epoch decodes and stores raw arrays, later epochs "
                              "skip PNG/JPEG decode — the measured 54%% of per-record "
                              "cost (docs/PERFORMANCE.md input-pipeline study)")
+    parser.add_argument("--device-aug", action="store_true", default=False,
+                        help="run the PSP augmentation chain on device inside the "
+                             "jitted train step (data/device_aug.py): the host only "
+                             "decodes (or memcpys from --decoded-cache) native-"
+                             "resolution images; supported for citys/tusimple/"
+                             "bdd100k standard train transform")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--stem-impl", type=str, default="xla",
                         choices=["xla", "tapbwd", "taps", "taps-packbn", "pallas"],
@@ -170,9 +176,15 @@ class Trainer:
                 keep_original_size=args.keep_original_size,
                 multi_scale=args.multi_scale,
             )
+        train_mode = "device-aug" if getattr(args, "device_aug", False) else "train"
         self.train_ds = get_segmentation_dataset(
-            args.dataset, split=args.train_split, mode="train", **ds_kwargs
+            args.dataset, split=args.train_split, mode=train_mode, **ds_kwargs
         )
+        if train_mode == "device-aug" and not hasattr(self.train_ds, "DEVICE_AUG_PAD_LABEL"):
+            raise ValueError(
+                f"--device-aug is not supported for dataset '{args.dataset}' "
+                "(its augmentation chain differs from the standard PSP transform)"
+            )
         self.val_ds = None
         if not args.no_val:
             val_kwargs = dict(ds_kwargs)
@@ -266,9 +278,20 @@ class Trainer:
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+        device_aug = None
+        if train_mode == "device-aug":
+            from fastscnn_tpu.data.device_aug import make_device_augment
+
+            device_aug = make_device_augment(
+                base_size=args.base_size,
+                crop_size=args.crop_size,
+                pad_label=self.train_ds.DEVICE_AUG_PAD_LABEL,
+                compute_dtype=compute_dtype,
+            )
         self.train_step = make_train_step(
             self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std,
             compute_dtype=compute_dtype, grad_accum=args.grad_accum,
+            device_aug=device_aug,
         )
         self.eval_step = make_eval_step(
             self.model, self.num_classes, mesh=None, mean=mean, std=std,
