@@ -152,28 +152,28 @@ def main():
             row["grain_error"] = str(e)[:200]
 
         # device-aug mode (data/device_aug.py): the host's per-record work
-        # drops to decode (or cache memcpy) + label remap — the PSP aug
+        # drops to decode (or cache memcpy) + label remap — the aug chain
+        # (PSP for citys/tusimple/bdd100k, the custom chain for custom)
         # runs inside the jitted train step. Loader-only rate here; the
         # device-side cost of the aug matmuls is bench_train.py --device-aug.
-        if r["dataset"] != "custom":  # custom's aug chain differs (SURVEY §2.2)
-            ds_dev = get_segmentation_dataset(
-                r["dataset"], root=root, split="train", mode="device-aug",
-                base_size=r["base_size"], crop_size=r["crop_size"],
-            )
-            dev = DataLoader(ds_dev, batch_size=args.batch_size, shuffle=True,
-                             num_workers=args.workers)
-            row["threads_device_aug_sps"] = round(measure_loader(dev, n_epochs=2), 2)
-            decoded_cache.set_cache_dir(cache_dir)
-            try:
-                devc = DataLoader(ds_dev, batch_size=args.batch_size, shuffle=True,
-                                  num_workers=args.workers)
-                row["threads_device_aug_cached_sps"] = round(
-                    measure_loader(devc, n_epochs=2), 2)
-            finally:
-                decoded_cache.set_cache_dir(None)
-            print(f"{name}: device-aug loader {row['threads_device_aug_sps']} "
-                  f"samples/s (decoded-cache warm "
-                  f"{row['threads_device_aug_cached_sps']})", file=sys.stderr)
+        ds_dev = get_segmentation_dataset(
+            r["dataset"], root=root, split="train", mode="device-aug",
+            base_size=r["base_size"], crop_size=r["crop_size"],
+        )
+        dev = DataLoader(ds_dev, batch_size=args.batch_size, shuffle=True,
+                         num_workers=args.workers)
+        row["threads_device_aug_sps"] = round(measure_loader(dev, n_epochs=2), 2)
+        decoded_cache.set_cache_dir(cache_dir)
+        try:
+            devc = DataLoader(ds_dev, batch_size=args.batch_size, shuffle=True,
+                              num_workers=args.workers)
+            row["threads_device_aug_cached_sps"] = round(
+                measure_loader(devc, n_epochs=2), 2)
+        finally:
+            decoded_cache.set_cache_dir(None)
+        print(f"{name}: device-aug loader {row['threads_device_aug_sps']} "
+              f"samples/s (decoded-cache warm "
+              f"{row['threads_device_aug_cached_sps']})", file=sys.stderr)
         print(f"{name}: threads {row['threads_sps']} samples/s "
               f"(decoded-cache warm {row['threads_cached_sps']}), "
               f"grain {row['grain_sps']} samples/s "
@@ -221,22 +221,21 @@ def main():
                   f"{row['e2e_train_cached_sps']} samples/s", file=sys.stderr)
             # device-aug + decoded cache composed (the full TPU-native
             # input story; new Trainer — the step program differs)
-            if r["dataset"] != "custom":
-                decoded_cache.set_cache_dir(cache_dir)
-                try:
-                    tr2 = Trainer(targs(flags + ["--device-aug"]))
-                    tr2.train()  # epoch 0 pays the compile
-                    tr2.args.start_epoch, tr2.args.epochs = 1, 1 + args.train_epochs
-                    t0 = time.perf_counter()
-                    tr2.train()
-                    wall = time.perf_counter() - t0
-                    row["e2e_train_device_aug_cached_sps"] = round(
-                        steps * args.batch_size / wall, 2)
-                finally:
-                    decoded_cache.set_cache_dir(None)
-                print(f"{name}: end-to-end train, device aug + decoded cache: "
-                      f"{row['e2e_train_device_aug_cached_sps']} samples/s",
-                      file=sys.stderr)
+            decoded_cache.set_cache_dir(cache_dir)
+            try:
+                tr2 = Trainer(targs(flags + ["--device-aug"]))
+                tr2.train()  # epoch 0 pays the compile
+                tr2.args.start_epoch, tr2.args.epochs = 1, 1 + args.train_epochs
+                t0 = time.perf_counter()
+                tr2.train()
+                wall = time.perf_counter() - t0
+                row["e2e_train_device_aug_cached_sps"] = round(
+                    steps * args.batch_size / wall, 2)
+            finally:
+                decoded_cache.set_cache_dir(None)
+            print(f"{name}: end-to-end train, device aug + decoded cache: "
+                  f"{row['e2e_train_device_aug_cached_sps']} samples/s",
+                  file=sys.stderr)
         out["recipes"][name] = row
 
     print(json.dumps(out))

@@ -40,9 +40,13 @@ def main():
     loss_name = os.environ.get("BENCH_TRAIN_LOSS", "dice")
 
     # BENCH_TRAIN_DEVICE_AUG=1: feed native-resolution batches and run the
-    # PSP aug chain on device inside the step (data/device_aug.py) — the
+    # aug chain on device inside the step (data/device_aug.py) — the
     # step-time delta vs the crop-fed step is the aug's device cost.
+    # BENCH_TRAIN_AUG_CHAIN=psp (default) | custom | custom-ms picks the
+    # chain (PSP for citys/tusimple/bdd100k; the custom dataset's chain,
+    # optionally multi-scale, for the custom recipe).
     device_aug_on = os.environ.get("BENCH_TRAIN_DEVICE_AUG", "") == "1"
+    aug_chain = os.environ.get("BENCH_TRAIN_AUG_CHAIN", "psp")
     src_h, src_w = (
         int(x) for x in os.environ.get("BENCH_TRAIN_SRC", "1024x2048").split("x")
     )
@@ -52,9 +56,16 @@ def main():
     model = FastSCNN(num_classes=num_classes, aux=True, stem_impl=stem_impl)
     aug = None
     if device_aug_on:
-        from fastscnn_tpu.data.device_aug import make_device_augment
+        if aug_chain.startswith("custom"):
+            from fastscnn_tpu.data.device_aug import make_device_augment_custom
 
-        aug = make_device_augment(base_size=base_size, crop_size=crop, pad_label=-1)
+            aug = make_device_augment_custom(
+                crop_size=crop, multi_scale=aug_chain == "custom-ms"
+            )
+        else:
+            from fastscnn_tpu.data.device_aug import make_device_augment
+
+            aug = make_device_augment(base_size=base_size, crop_size=crop, pad_label=-1)
     schedule = lr_schedule("poly", base_lr=1e-2, niters=10000, power=0.9)
     optimizer = make_optimizer("sgd", schedule)
     loss_fn = get_loss_fn(loss_name, aux=True, num_classes=num_classes)
@@ -135,7 +146,11 @@ def main():
                     f"train_step_throughput_{crop}x{crop}_{loss_name}_aux_bf16"
                     if num_classes == 2
                     else f"train_step_throughput_{crop}x{crop}_{loss_name}{num_classes}_aux_bf16"
-                ) + ("_devaug" if device_aug_on else ""),
+                ) + (
+                    "_devaug" + ("_" + aug_chain if aug_chain != "psp" else "")
+                    if device_aug_on
+                    else ""
+                ),
                 "value": round(best_sps, 1),
                 "unit": "samples/sec/chip",
                 # The 232.9 samples/s reference baseline is the TuSimple

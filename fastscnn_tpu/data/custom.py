@@ -44,6 +44,10 @@ def _train_test_split(items, train_size, seed):
 class CustomDataset:
     NUM_CLASS = 2
     normalization = "unit"
+    # device-aug: the custom chain never pads (the min-size guard resize
+    # keeps both axes ≥ crop), so the pad label is unused; 0 = background.
+    DEVICE_AUG_PAD_LABEL = 0
+    DEVICE_AUG_CHAIN = "custom"  # reference:custom.py:123-164 (not PSP)
 
     def __init__(
         self,
@@ -107,6 +111,12 @@ class CustomDataset:
             mask_arr = mask_arr[:, :, 0]
         mask = Image.fromarray((mask_arr > 128).astype(np.uint8))
 
+        if self.mode == "device-aug":
+            # native resolution + binarized labels; the custom aug chain
+            # runs on device inside the jitted train step
+            # (data/device_aug.py::make_device_augment_custom). Requires a
+            # uniform-resolution dataset (static shapes under jit).
+            return np.asarray(image, np.uint8), np.asarray(mask, np.int32)
         if self.mode == "train":
             image, mask = self._sync_transform(image, mask)
         elif self.mode == "val":

@@ -48,6 +48,22 @@ keeps its pixel-parity gate vs the reference):
 
 Random draws match the reference's distributions exactly (inclusive
 ``random.randint`` bounds, Bernoulli(0.5) flip/blur, U[0,1) radius).
+
+The CUSTOM dataset's chain (reference:custom.py:123-164) differs from
+the PSP chain — optional multi-scale both-axes resize (uniform choice
+over [0.5..2.0] in quarters) → min-size guard resize to ≥ crop →
+random crop → hflip AFTER crop, no pad and no blur — and is covered by
+:func:`make_device_augment_custom`. Both resizes plus the crop compose
+per axis into ONE (crop, src) sampling matrix: the guard+crop stage at
+filterscale 1 touches at most two rows of the scale-resize matrix per
+output row (exact two-tap lerp, PIL's clipped-window renormalization
+included), so the total is a two-row gather + lerp of the scale matrix
+— no (crop, M) @ (M, src) matmul. NEAREST masks compose by exact
+integer index chaining (idx_scale ∘ idx_guard), one one-hot matmul
+total. Additional documented divergence: PIL quantizes to uint8
+between the two chained resizes (multi-scale mode only); we compose
+them in float. ``keep_original_size`` mode (resize to base² + flip) is
+static per-sample and also provided.
 """
 
 from __future__ import annotations
@@ -57,7 +73,16 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["AugParams", "draw_params", "apply_params", "make_device_augment"]
+__all__ = [
+    "AugParams",
+    "draw_params",
+    "apply_params",
+    "make_device_augment",
+    "CustomAugParams",
+    "draw_custom_params",
+    "apply_custom_params",
+    "make_device_augment_custom",
+]
 
 
 class AugParams(NamedTuple):
@@ -209,6 +234,234 @@ def make_device_augment(*, base_size: int, crop_size: int, pad_label: int, compu
             base_size=base_size,
             pad_label=pad_label,
             compute_dtype=compute_dtype,
+        )
+
+    return augment
+
+
+# ---------------------------------------------------------------------------
+# CUSTOM dataset chain (reference:custom.py:123-164): [multi-scale resize →]
+# min-size guard resize → random crop → hflip AFTER crop. No pad, no blur.
+# ---------------------------------------------------------------------------
+
+
+class CustomAugParams(NamedTuple):
+    """Per-sample draws for the custom chain (each shaped (B,))."""
+
+    scale_k: jnp.ndarray  # i32 — index into the static scales tuple
+    x1: jnp.ndarray  # i32 — crop left in the guard-resized image
+    y1: jnp.ndarray  # i32 — crop top
+    flip: jnp.ndarray  # bool — hflip AFTER crop
+
+
+def _custom_dims(scales, src: int):
+    """Static per-choice post-scale extents, exactly PIL-side
+    ``int(src * scale)`` (host float trunc, reference:custom.py:127)."""
+    return jnp.asarray([int(src * s) for s in scales], jnp.int32)
+
+
+def draw_custom_params(key, batch: int, src_h: int, src_w: int, crop_size: int, scales) -> CustomAugParams:
+    """Reference distributions: uniform ``random.choice(scales)`` shared by
+    both axes, inclusive ``randint(0, dim - crop)`` per axis after the
+    guard resize, Bernoulli(0.5) flip."""
+    kk, kx, ky, kf = jax.random.split(key, 4)
+    n = len(scales)
+    scale_k = (
+        jax.random.randint(kk, (batch,), 0, n, dtype=jnp.int32)
+        if n > 1
+        else jnp.zeros((batch,), jnp.int32)
+    )
+    ow = _custom_dims(scales, src_w)[scale_k]
+    oh = _custom_dims(scales, src_h)[scale_k]
+    gw = jnp.maximum(ow, crop_size)
+    gh = jnp.maximum(oh, crop_size)
+    x1 = jax.random.randint(kx, (batch,), 0, gw - crop_size + 1, dtype=jnp.int32)
+    y1 = jax.random.randint(ky, (batch,), 0, gh - crop_size + 1, dtype=jnp.int32)
+    flip = jax.random.bernoulli(kf, 0.5, (batch,))
+    return CustomAugParams(scale_k, x1, y1, flip)
+
+
+def _two_tap(center, extent):
+    """Two-tap triangle sampling at filterscale 1 (the guard+crop stage is
+    never a downscale): indices, weights with PIL's clipped-window
+    renormalization. center f32 (rows,), extent traced i32."""
+    f32 = jnp.float32
+    x = center - 0.5
+    k = jnp.floor(x).astype(jnp.int32)
+    f = x - k.astype(f32)
+    w0 = jnp.where((k >= 0) & (k < extent), 1.0 - f, 0.0)
+    w1 = jnp.where((k + 1 >= 0) & (k + 1 < extent), f, 0.0)
+    tot = jnp.maximum(w0 + w1, 1e-12)
+    return (
+        jnp.clip(k, 0, extent - 1),
+        jnp.clip(k + 1, 0, extent - 1),
+        w0 / tot,
+        w1 / tot,
+    )
+
+
+def _scale_matrix(scale_out, src: int, n_rows: int):
+    """(n_rows, src) PIL-triangle resize src → scale_out (traced extent);
+    rows ≥ scale_out are zero. Same math as the PSP ``_axis_matrices``."""
+    f32 = jnp.float32
+    g = jnp.arange(n_rows, dtype=jnp.int32)
+    valid = g < scale_out
+    scale = jnp.asarray(src, f32) / scale_out.astype(f32)
+    fscale = jnp.maximum(scale, 1.0)
+    center = (g.astype(f32) + 0.5) * scale
+    j = jnp.arange(src, dtype=f32) + 0.5
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(j[None, :] - center[:, None]) / fscale)
+    w = w * valid[:, None]
+    return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+
+
+def _custom_rows(g0, flip_rows, crop: int):
+    """Output-row coordinates for the guard+crop stage, mirrored when the
+    post-crop hflip is on (reference flips AFTER crop)."""
+    i = jnp.arange(crop, dtype=jnp.int32)
+    return g0 + jnp.where(flip_rows, crop - 1 - i, i)
+
+
+def _custom_axis_image(scale_out, g0, flip_rows, src: int, crop: int, n_scale_rows: int, multi: bool):
+    """Per-sample (crop, src) total image sampling matrix for one axis:
+    guard+crop (two-tap) composed over the multi-scale resize matrix."""
+    f32 = jnp.float32
+    gh = jnp.maximum(scale_out, crop)
+    rows = _custom_rows(g0, flip_rows, crop)
+    center = (rows.astype(f32) + 0.5) * (scale_out.astype(f32) / gh.astype(f32))
+    k0, k1, w0, w1 = _two_tap(center, scale_out)
+    if not multi:
+        # scale stage is identity (scale_out == src statically): build the
+        # two-tap rows directly over the source columns.
+        j = jnp.arange(src, dtype=jnp.int32)
+        return (
+            w0[:, None] * (j[None, :] == k0[:, None]).astype(f32)
+            + w1[:, None] * (j[None, :] == k1[:, None]).astype(f32)
+        )
+    s = _scale_matrix(scale_out, src, n_scale_rows)
+    return w0[:, None] * jnp.take(s, k0, axis=0) + w1[:, None] * jnp.take(s, k1, axis=0)
+
+
+def _custom_axis_nearest(scale_out, g0, flip_rows, src: int, crop: int):
+    """Per-sample (crop, src) one-hot NEAREST matrix: exact integer index
+    chaining idx_scale ∘ idx_guard (both PIL affine-NEAREST maps)."""
+    rows = _custom_rows(g0, flip_rows, crop)
+    gh = jnp.maximum(scale_out, crop)
+    t = ((2 * rows + 1) * scale_out) // (2 * gh)  # guard+crop → scaled dims
+    idx = jnp.clip(((2 * t + 1) * src) // (2 * scale_out), 0, src - 1)
+    onehot = jnp.arange(src, dtype=jnp.int32)[None, :] == idx[:, None]
+    return onehot.astype(jnp.float32)
+
+
+def apply_custom_params(
+    images,
+    masks,
+    params: CustomAugParams,
+    *,
+    crop_size: int,
+    scales,
+    compute_dtype=jnp.bfloat16,
+):
+    """Apply the custom chain with the given per-sample params.
+
+    images: (B, H, W, 3) uint8/float, uniform source resolution.
+    masks:  (B, H, W) int32, already label-transformed (binarized for the
+            custom dataset; NEAREST sampling commutes with the remap).
+    Returns (B, crop, crop, 3) f32 in [0, 255] and (B, crop, crop) i32.
+    There is no pad region: the guard resize keeps both axes ≥ crop.
+    """
+    src_h, src_w = int(images.shape[1]), int(images.shape[2])
+    multi = len(scales) > 1 or float(scales[0]) != 1.0
+    if not multi and src_h >= crop_size and src_w >= crop_size:
+        # The whole chain is crop + flip (the scale stage is identity and
+        # the guard never triggers — both static facts): a vmapped
+        # dynamic_slice + lane reverse is exact and costs ~nothing on the
+        # MXU (no sampling matmuls).
+        def one(img, msk, y1, x1, flip):
+            ci = jax.lax.dynamic_slice(img, (y1, x1, 0), (crop_size, crop_size, 3))
+            cm = jax.lax.dynamic_slice(msk, (y1, x1), (crop_size, crop_size))
+            ci = jnp.where(flip, ci[:, ::-1, :], ci)
+            cm = jnp.where(flip, cm[:, ::-1], cm)
+            return ci, cm
+        ci, cm = jax.vmap(one)(images, masks, params.y1, params.x1, params.flip)
+        return ci.astype(jnp.float32), cm.astype(jnp.int32)
+    oh = _custom_dims(scales, src_h)[params.scale_k]
+    ow = _custom_dims(scales, src_w)[params.scale_k]
+    mh_rows = max(int(src_h * s) for s in scales)
+    mw_rows = max(int(src_w * s) for s in scales)
+    no_flip = jnp.zeros_like(params.flip)
+
+    wh = jax.vmap(
+        lambda so, g0, f: _custom_axis_image(so, g0, f, src_h, crop_size, mh_rows, multi)
+    )(oh, params.y1, no_flip)
+    ww = jax.vmap(
+        lambda so, g0, f: _custom_axis_image(so, g0, f, src_w, crop_size, mw_rows, multi)
+    )(ow, params.x1, params.flip)
+    nh = jax.vmap(lambda so, g0, f: _custom_axis_nearest(so, g0, f, src_h, crop_size))(
+        oh, params.y1, no_flip
+    )
+    nw = jax.vmap(lambda so, g0, f: _custom_axis_nearest(so, g0, f, src_w, crop_size))(
+        ow, params.x1, params.flip
+    )
+
+    cd = compute_dtype
+    x = images.astype(cd)
+    t = jnp.einsum("bih,bhwc->biwc", wh.astype(cd), x)
+    img = jnp.einsum("bjw,biwc->bijc", ww.astype(cd), t).astype(jnp.float32)
+    img = jnp.clip(img, 0.0, 255.0)
+
+    mf = masks.astype(jnp.float32)
+    tm = jnp.einsum("bih,bhw->biw", nh, mf)
+    mm = jnp.einsum("bjw,biw->bij", nw, tm)
+    return img, jnp.rint(mm).astype(jnp.int32)
+
+
+def make_device_augment_custom(
+    *,
+    crop_size: int,
+    multi_scale: bool = False,
+    scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0),
+    keep_original_size: bool = False,
+    base_size: int = 520,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build ``augment(images_u8, masks_i32, key)`` for the CUSTOM chain
+    (reference:custom.py:123-164), for use inside the jitted train step.
+
+    ``keep_original_size`` mode resizes every sample to base_size² (+
+    random flip) — the sampling matrices are static, only the flip draw
+    is per-sample; output spatial dims are (base_size, base_size).
+    """
+    use_scales = tuple(scales) if multi_scale else (1.0,)
+
+    def augment(images, masks, key):
+        b, src_h, src_w = images.shape[0], int(images.shape[1]), int(images.shape[2])
+        cd = compute_dtype
+        if keep_original_size:
+            kf = jax.random.bernoulli(key, 0.5, (b,))
+            dst = jnp.asarray(base_size, jnp.int32)
+            sh = _scale_matrix(dst, src_h, base_size)  # static (base, src_h)
+            sw = _scale_matrix(dst, src_w, base_size)
+            # NEAREST resize src → base (single stage): exact rational.
+            i = jnp.arange(base_size, dtype=jnp.int32)
+            idx_h = jnp.clip(((2 * i + 1) * src_h) // (2 * base_size), 0, src_h - 1)
+            idx_w = jnp.clip(((2 * i + 1) * src_w) // (2 * base_size), 0, src_w - 1)
+            nh = (jnp.arange(src_h)[None, :] == idx_h[:, None]).astype(jnp.float32)
+            nw = (jnp.arange(src_w)[None, :] == idx_w[:, None]).astype(jnp.float32)
+            swf = jnp.where(kf[:, None, None], sw[None, ::-1, :], sw[None, :, :])
+            nwf = jnp.where(kf[:, None, None], nw[None, ::-1, :], nw[None, :, :])
+            x = images.astype(cd)
+            t = jnp.einsum("ih,bhwc->biwc", sh.astype(cd), x)
+            img = jnp.einsum("bjw,biwc->bijc", swf.astype(cd), t).astype(jnp.float32)
+            img = jnp.clip(img, 0.0, 255.0)
+            mf = masks.astype(jnp.float32)
+            tm = jnp.einsum("ih,bhw->biw", nh, mf)
+            mm = jnp.einsum("bjw,biw->bij", nwf, tm)
+            return img, jnp.rint(mm).astype(jnp.int32)
+        params = draw_custom_params(key, b, src_h, src_w, crop_size, use_scales)
+        return apply_custom_params(
+            images, masks, params,
+            crop_size=crop_size, scales=use_scales, compute_dtype=cd,
         )
 
     return augment

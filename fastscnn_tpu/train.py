@@ -280,14 +280,26 @@ class Trainer:
         compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
         device_aug = None
         if train_mode == "device-aug":
-            from fastscnn_tpu.data.device_aug import make_device_augment
+            if getattr(self.train_ds, "DEVICE_AUG_CHAIN", "psp") == "custom":
+                from fastscnn_tpu.data.device_aug import make_device_augment_custom
 
-            device_aug = make_device_augment(
-                base_size=args.base_size,
-                crop_size=args.crop_size,
-                pad_label=self.train_ds.DEVICE_AUG_PAD_LABEL,
-                compute_dtype=compute_dtype,
-            )
+                device_aug = make_device_augment_custom(
+                    crop_size=args.crop_size,
+                    multi_scale=args.multi_scale,
+                    scales=tuple(self.train_ds.scales),
+                    keep_original_size=args.keep_original_size,
+                    base_size=args.base_size,
+                    compute_dtype=compute_dtype,
+                )
+            else:
+                from fastscnn_tpu.data.device_aug import make_device_augment
+
+                device_aug = make_device_augment(
+                    base_size=args.base_size,
+                    crop_size=args.crop_size,
+                    pad_label=self.train_ds.DEVICE_AUG_PAD_LABEL,
+                    compute_dtype=compute_dtype,
+                )
         self.train_step = make_train_step(
             self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std,
             compute_dtype=compute_dtype, grad_accum=args.grad_accum,

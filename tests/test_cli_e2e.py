@@ -202,3 +202,40 @@ def test_training_determinism(custom_root, tmp_path, monkeypatch):
         return [r["train_loss"] for r in log]
 
     assert run() == run()
+
+
+def test_train_custom_device_aug(custom_root, tmp_path, monkeypatch):
+    """--device-aug on the custom dataset: the custom chain (multi-scale →
+    guard → crop → flip-after-crop, reference:custom.py:123-164) runs as
+    sampling matmuls inside the jitted train step; the host ships
+    native-resolution frames."""
+    monkeypatch.chdir(tmp_path)
+    from fastscnn_tpu.train import Trainer, parse_args
+
+    args = parse_args(
+        [
+            "--dataset", "custom",
+            "--data-root", custom_root,
+            "--base-size", "64",
+            "--crop-size", "32",
+            "--epochs", "1",
+            "--batch-size", "2",
+            "--loss-type", "dice",
+            "--aux",
+            "--device-aug",
+            "--multi-scale",
+            "--save-epoch", "100000",
+            "--print-interval", "100000",
+            "--num-workers", "1",
+        ]
+    )
+    trainer = Trainer(args)
+    assert trainer.train_ds.mode == "device-aug"
+    # the loader ships native-resolution uint8 frames (no host-side crop)
+    imgs, masks = next(iter(trainer.train_loader))
+    assert imgs.shape[1:] == (64, 64, 3)
+    assert masks.shape[1:] == (64, 64)
+    state = trainer.train()
+    assert int(state.step) == trainer.iters_per_epoch
+    log = json.load(open("logs/training_log_custom.json"))
+    assert np.isfinite(log[-1]["train_loss"])

@@ -287,3 +287,214 @@ def test_make_device_augment_jits_and_batches():
     assert not np.array_equal(np.asarray(out_m[0]), np.asarray(out_m[1])) or not np.array_equal(
         np.asarray(out_i[0]), np.asarray(out_i[1])
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSTOM dataset chain (reference:custom.py:123-164): [multi-scale resize →]
+# guard resize → crop → flip AFTER crop; no pad, no blur.
+# ---------------------------------------------------------------------------
+
+from fastscnn_tpu.data.device_aug import (  # noqa: E402
+    CustomAugParams,
+    apply_custom_params,
+    draw_custom_params,
+    make_device_augment_custom,
+)
+
+SCALES = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0)
+
+
+def _binary_fixture(seed=0):
+    img, _ = _fixture_pair(seed)
+    yy, xx = np.mgrid[0:H, 0:W]
+    mask = (((yy // 11) + (xx // 13)) % 2).astype(np.int32)
+    return img, mask
+
+
+def _pil_custom_apply(img_arr, mask_arr, scale, x1, y1, flip, crop=CROP):
+    """The reference custom chain with injected params
+    (reference:custom.py:123-164, our data/custom.py::_sync_transform)."""
+    img = Image.fromarray(img_arr)
+    mask = Image.fromarray(mask_arr.astype(np.uint8))
+    if scale is not None:
+        w, h = img.size
+        img = img.resize((int(w * scale), int(h * scale)), Image.BILINEAR)
+        mask = mask.resize((int(w * scale), int(h * scale)), Image.NEAREST)
+    w, h = img.size
+    if w < crop or h < crop:
+        nw, nh = max(w, crop), max(h, crop)
+        img = img.resize((nw, nh), Image.BILINEAR)
+        mask = mask.resize((nw, nh), Image.NEAREST)
+    img = img.crop((x1, y1, x1 + crop, y1 + crop))
+    mask = mask.crop((x1, y1, x1 + crop, y1 + crop))
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+    return np.asarray(img, np.float32), np.asarray(mask, np.int32)
+
+
+def _numpy_custom_nearest(mask_arr, scale_k, x1, y1, flip, crop=CROP, scales=SCALES):
+    """Independent composed-index NEAREST reference (numpy ints)."""
+    h, w = mask_arr.shape
+    oh, ow = int(h * scales[scale_k]), int(w * scales[scale_k])
+    gh, gw = max(oh, crop), max(ow, crop)
+    gi = y1 + np.arange(crop)
+    gj = x1 + np.arange(crop)
+    ti = ((2 * gi + 1) * oh) // (2 * gh)
+    tj = ((2 * gj + 1) * ow) // (2 * gw)
+    si = np.clip(((2 * ti + 1) * h) // (2 * oh), 0, h - 1)
+    sj = np.clip(((2 * tj + 1) * w) // (2 * ow), 0, w - 1)
+    out = mask_arr[np.ix_(si, sj)]
+    return out[:, ::-1] if flip else out
+
+
+def _device_custom_apply(img, mask, scale_k, x1, y1, flip, multi=True,
+                         compute_dtype=jnp.float32):
+    scales = SCALES if multi else (1.0,)
+    p = CustomAugParams(
+        jnp.array([scale_k], jnp.int32),
+        jnp.array([x1], jnp.int32),
+        jnp.array([y1], jnp.int32),
+        jnp.array([flip]),
+    )
+    di, dm = apply_custom_params(
+        jnp.asarray(img)[None], jnp.asarray(mask)[None], p,
+        crop_size=CROP, scales=scales, compute_dtype=compute_dtype,
+    )
+    return np.asarray(di[0]), np.asarray(dm[0])
+
+
+def _random_custom_params(rng, multi=True):
+    k = int(rng.integers(0, len(SCALES))) if multi else 0
+    s = SCALES[k] if multi else 1.0
+    gh = max(int(H * s), CROP)
+    gw = max(int(W * s), CROP)
+    x1 = int(rng.integers(0, gw - CROP + 1))
+    y1 = int(rng.integers(0, gh - CROP + 1))
+    return k, x1, y1, bool(rng.integers(0, 2))
+
+
+def test_custom_single_scale_image_exact_vs_pil():
+    # multi_scale off: the chain is crop+flip only (the guard is a no-op at
+    # this geometry) — integer sampling, so device == PIL exactly.
+    img, mask = _binary_fixture()
+    rng = np.random.default_rng(10)
+    for _ in range(6):
+        _, x1, y1, flip = _random_custom_params(rng, multi=False)
+        ref_img, ref_mask = _pil_custom_apply(img, mask, None, x1, y1, flip)
+        di, dm = _device_custom_apply(img, mask, 0, x1, y1, flip, multi=False)
+        assert np.abs(di - ref_img).max() <= 1e-4, (x1, y1, flip)
+        assert (dm == ref_mask).all()
+
+
+def test_custom_multi_scale_image_close_to_pil():
+    img, mask = _binary_fixture()
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        k, x1, y1, flip = _random_custom_params(rng, multi=True)
+        ref_img, _ = _pil_custom_apply(img, mask, SCALES[k], x1, y1, flip)
+        di, _ = _device_custom_apply(img, mask, k, x1, y1, flip, multi=True)
+        # PIL quantizes to uint8 between the chained resizes and uses
+        # fixed-point coefficients; we compose the two stages in float.
+        assert np.abs(di - ref_img).max() <= 3.0, (k, x1, y1, flip)
+        assert np.abs(di - ref_img).mean() <= 0.7
+
+
+def test_custom_guard_resize_path_matches_pil():
+    # scale 0.5 shrinks H below the crop at this geometry → the guard
+    # resize (reference:custom.py:129-132) upscales H back to crop while
+    # leaving W untouched.
+    img, mask = _binary_fixture()
+    s = 0.5
+    oh = int(H * s)
+    assert oh < CROP <= int(W * s)
+    k = SCALES.index(s)
+    for flip in (False, True):
+        ref_img, ref_mask = _pil_custom_apply(img, mask, s, 3, 0, flip)
+        di, dm = _device_custom_apply(img, mask, k, 3, 0, flip, multi=True)
+        assert np.abs(di - ref_img).max() <= 3.0
+        assert (dm == _numpy_custom_nearest(mask, k, 3, 0, flip)).all()
+        assert (dm == ref_mask).mean() >= 0.97
+
+
+def test_custom_mask_exact_vs_rational_reference():
+    img, mask = _binary_fixture()
+    rng = np.random.default_rng(12)
+    agrees = []
+    for _ in range(10):
+        k, x1, y1, flip = _random_custom_params(rng, multi=True)
+        _, ref_mask = _pil_custom_apply(img, mask, SCALES[k], x1, y1, flip)
+        _, dm = _device_custom_apply(img, mask, k, x1, y1, flip, multi=True)
+        assert (dm == _numpy_custom_nearest(mask, k, x1, y1, flip)).all()
+        agrees.append((dm == ref_mask).mean())
+    # PIL's incremental-float NEAREST + two chained quantized stages.
+    assert np.mean(agrees) >= 0.97
+    assert min(agrees) >= 0.9
+
+
+def test_custom_bf16_image_and_exact_mask():
+    img, mask = _binary_fixture()
+    k, x1, y1, flip = _random_custom_params(np.random.default_rng(13))
+    ref_img, _ = _pil_custom_apply(img, mask, SCALES[k], x1, y1, flip)
+    di, dm = _device_custom_apply(img, mask, k, x1, y1, flip,
+                                  compute_dtype=jnp.bfloat16)
+    assert np.abs(di - ref_img).max() <= 6.0
+    assert (dm == _numpy_custom_nearest(mask, k, x1, y1, flip)).all()
+
+
+def test_custom_draw_distributions_match_reference():
+    key = jax.random.PRNGKey(5)
+    p = draw_custom_params(key, 8192, H, W, CROP, SCALES)
+    k = np.asarray(p.scale_k)
+    assert k.min() == 0 and k.max() == len(SCALES) - 1
+    counts = np.bincount(k, minlength=len(SCALES)) / k.size
+    assert np.abs(counts - 1.0 / len(SCALES)).max() < 0.02  # uniform choice
+    assert abs(np.asarray(p.flip).mean() - 0.5) < 0.05
+    oh = np.asarray([int(H * s) for s in SCALES])[k]
+    ow = np.asarray([int(W * s) for s in SCALES])[k]
+    gh, gw = np.maximum(oh, CROP), np.maximum(ow, CROP)
+    y1, x1 = np.asarray(p.y1), np.asarray(p.x1)
+    assert (y1 >= 0).all() and (y1 <= gh - CROP).all()
+    assert (x1 >= 0).all() and (x1 <= gw - CROP).all()
+    # inclusive upper bound actually reachable (reference random.randint)
+    assert (y1 == gh - CROP)[gh > CROP].any()
+
+
+def test_custom_keep_original_size_matches_pil():
+    img, mask = _binary_fixture()
+    base = 80
+    aug = make_device_augment_custom(
+        crop_size=CROP, keep_original_size=True, base_size=base,
+        compute_dtype=jnp.float32,
+    )
+    imgs = jnp.asarray(np.stack([img] * 2))
+    masks = jnp.asarray(np.stack([mask] * 2))
+    out_i, out_m = jax.jit(aug)(imgs, masks, jax.random.PRNGKey(3))
+    assert out_i.shape == (2, base, base, 3)
+    assert out_m.shape == (2, base, base)
+    pil_i = Image.fromarray(img).resize((base, base), Image.BILINEAR)
+    pil_m = Image.fromarray(mask.astype(np.uint8)).resize((base, base), Image.NEAREST)
+    for b in range(2):
+        di = np.asarray(out_i[b])
+        dm = np.asarray(out_m[b])
+        ri = np.asarray(pil_i, np.float32)
+        rm = np.asarray(pil_m, np.int32)
+        if np.abs(di - ri).mean() > np.abs(di[:, ::-1] - ri).mean():
+            di, dm = di[:, ::-1], dm[:, ::-1]  # that sample drew flip
+        assert np.abs(di - ri).max() <= 2.5
+        assert (dm == rm).mean() >= 0.97
+
+
+def test_custom_augment_jits_and_batches():
+    img, mask = _binary_fixture()
+    imgs = np.stack([img] * 4)
+    masks = np.stack([mask] * 4)
+    aug = make_device_augment_custom(crop_size=CROP, multi_scale=True, scales=SCALES)
+    out_i, out_m = jax.jit(aug)(jnp.asarray(imgs), jnp.asarray(masks), jax.random.PRNGKey(9))
+    assert out_i.shape == (4, CROP, CROP, 3) and out_i.dtype == jnp.float32
+    assert out_m.shape == (4, CROP, CROP) and out_m.dtype == jnp.int32
+    labels = np.unique(np.asarray(out_m))
+    assert set(labels.tolist()) <= {0, 1}  # binarized labels, no pad value
+    assert not np.array_equal(np.asarray(out_m[0]), np.asarray(out_m[1])) or not np.array_equal(
+        np.asarray(out_i[0]), np.asarray(out_i[1])
+    )
