@@ -42,11 +42,16 @@ def main():
     # BENCH_TRAIN_DEVICE_AUG=1: feed native-resolution batches and run the
     # aug chain on device inside the step (data/device_aug.py) — the
     # step-time delta vs the crop-fed step is the aug's device cost.
-    # BENCH_TRAIN_AUG_CHAIN=psp (default) | custom | custom-ms picks the
-    # chain (PSP for citys/tusimple/bdd100k; the custom dataset's chain,
-    # optionally multi-scale, for the custom recipe).
+    # BENCH_TRAIN_AUG_CHAIN=psp (default) | custom | custom-ms | original
+    # picks the chain (PSP for citys/tusimple/bdd100k; the custom
+    # dataset's chain, optionally multi-scale, for the custom recipe;
+    # 'original' = bdd100k --keep-original-size flip+blur at native res —
+    # the step then trains at BENCH_TRAIN_SRC, not the crop).
+    # BENCH_TRAIN_NATIVE=1: no-aug control at native resolution (the
+    # honest baseline for the 'original' chain's device cost).
     device_aug_on = os.environ.get("BENCH_TRAIN_DEVICE_AUG", "") == "1"
     aug_chain = os.environ.get("BENCH_TRAIN_AUG_CHAIN", "psp")
+    native_ctl = os.environ.get("BENCH_TRAIN_NATIVE", "") == "1"
     src_h, src_w = (
         int(x) for x in os.environ.get("BENCH_TRAIN_SRC", "1024x2048").split("x")
     )
@@ -56,7 +61,11 @@ def main():
     model = FastSCNN(num_classes=num_classes, aux=True, stem_impl=stem_impl)
     aug = None
     if device_aug_on:
-        if aug_chain.startswith("custom"):
+        if aug_chain == "original":
+            from fastscnn_tpu.data.device_aug import make_device_augment_original
+
+            aug = make_device_augment_original(blur_p=0.3)
+        elif aug_chain.startswith("custom"):
             from fastscnn_tpu.data.device_aug import make_device_augment_custom
 
             aug = make_device_augment_custom(
@@ -73,7 +82,7 @@ def main():
     best_sps, best_batch = 0.0, 0
     rng = np.random.default_rng(0)
     for batch in batches:
-        in_h, in_w = (src_h, src_w) if device_aug_on else (crop, crop)
+        in_h, in_w = (src_h, src_w) if device_aug_on or native_ctl else (crop, crop)
         images = jnp.asarray(rng.integers(0, 256, (batch, in_h, in_w, 3), dtype=np.uint8))
         targets = jnp.asarray(
             rng.integers(-1, num_classes, (batch, in_h, in_w)).astype(np.int32)
@@ -143,13 +152,21 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"train_step_throughput_{crop}x{crop}_{loss_name}_aux_bf16"
-                    if num_classes == 2
-                    else f"train_step_throughput_{crop}x{crop}_{loss_name}{num_classes}_aux_bf16"
+                    lambda res: (
+                        f"train_step_throughput_{res}_{loss_name}_aux_bf16"
+                        if num_classes == 2
+                        else f"train_step_throughput_{res}_{loss_name}{num_classes}_aux_bf16"
+                    )
+                )(
+                    # 'original' chain and the native control train at the
+                    # source resolution, not the crop
+                    f"{src_h}x{src_w}"
+                    if (device_aug_on and aug_chain == "original") or native_ctl
+                    else f"{crop}x{crop}"
                 ) + (
                     "_devaug" + ("_" + aug_chain if aug_chain != "psp" else "")
                     if device_aug_on
-                    else ""
+                    else ("_native" if native_ctl else "")
                 ),
                 "value": round(best_sps, 1),
                 "unit": "samples/sec/chip",
@@ -159,6 +176,8 @@ def main():
                 "vs_baseline": (
                     round(best_sps / 232.9, 2)
                     if (num_classes, loss_name, crop) == (2, "dice", 480)
+                    and not native_ctl
+                    and not (device_aug_on and aug_chain == "original")
                     else None
                 ),
                 "batch": best_batch,

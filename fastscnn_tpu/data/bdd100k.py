@@ -57,6 +57,9 @@ class BDD100KSegmentation:
         self.max_samples = max_samples
         self.multi_scale = multi_scale
         self.keep_original_size = keep_original_size
+        # device-aug chain selection (train.py reads this): flip+blur at
+        # native resolution for keep-original-size, else the PSP chain.
+        self.DEVICE_AUG_CHAIN = "original" if keep_original_size else "psp"
         self.min_scale = min_scale
         self.max_scale = max_scale
         self.tf = SyncTransforms(base_size, crop_size, rng=rng)
@@ -111,9 +114,14 @@ class BDD100KSegmentation:
             return np.asarray(img, np.uint8), os.path.basename(self.images[index])
         mask = decoded_cache.open_image(self.mask_paths[index])
         if self.mode == "device-aug":
-            if self.keep_original_size or self.multi_scale:
+            if self.multi_scale:
+                # multi-scale-no-crop emits variable per-sample output
+                # sizes (reference:bdd100k.py:260-278) — unbatchable under
+                # static-shape jit; host aug remains the path for it.
                 raise ValueError(
-                    "device-aug supports only the standard PSP train transform"
+                    "device-aug supports the standard PSP transform and "
+                    "--keep-original-size, not --multi-scale (variable "
+                    "output shapes)"
                 )
             return np.asarray(img, np.uint8), self._mask_transform(mask)
         if self.mode == "train":

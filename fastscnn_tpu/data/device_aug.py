@@ -39,9 +39,10 @@ keeps its pixel-parity gate vs the reference):
     rounding. We use the exact rational index ((2i+1)·src)//(2·out);
     tie rows may pick the neighboring source row. Statistically
     gated against PIL in tests/test_device_aug.py.
-  * PIL's GaussianBlur is a 3-pass box approximation with edge
-    replication; we use a true truncated Gaussian renormalized at the
-    crop edges. radius < 1 in this recipe, so both are near-identity.
+  * PIL's GaussianBlur is a 3-pass box approximation; we use a true
+    truncated Gaussian (same edge replication — out-of-bounds tap mass
+    folds onto the clamped edge pixel). radius < 1 in this recipe, so
+    both are near-identity.
   * PIL quantizes to uint8 after every stage and uses fixed-point
     filter coefficients; we stay in floating point end to end
     (bf16 matmuls, f32 accumulation on the MXU).
@@ -57,8 +58,9 @@ random crop → hflip AFTER crop, no pad and no blur — and is covered by
 per axis into ONE (crop, src) sampling matrix: the guard+crop stage at
 filterscale 1 touches at most two rows of the scale-resize matrix per
 output row (exact two-tap lerp, PIL's clipped-window renormalization
-included), so the total is a two-row gather + lerp of the scale matrix
-— no (crop, M) @ (M, src) matmul. NEAREST masks compose by exact
+included), so the total is a lerp of two directly-computed scale-matrix
+rows — no (crop, M) @ (M, src) matmul and no gather. NEAREST masks
+compose by exact
 integer index chaining (idx_scale ∘ idx_guard), one one-hot matmul
 total. Additional documented divergence: PIL quantizes to uint8
 between the two chained resizes (multi-scale mode only); we compose
@@ -82,6 +84,10 @@ __all__ = [
     "draw_custom_params",
     "apply_custom_params",
     "make_device_augment_custom",
+    "OriginalAugParams",
+    "draw_original_params",
+    "apply_original_params",
+    "make_device_augment_original",
 ]
 
 
@@ -156,14 +162,21 @@ def _axis_matrices(g0, resized, flip, src: int, crop: int):
 
 
 def _blur_matrix(blur_on, radius, crop: int):
-    """(crop, crop) truncated-Gaussian row-normalized band matrix;
-    identity when blur is off (sigma→1e-3 makes it one-hot exactly)."""
+    """(crop, crop) truncated-Gaussian band matrix with PIL-style edge
+    replication (out-of-bounds tap mass folds onto the clamped edge
+    pixel); identity when blur is off (sigma→1e-3 is one-hot exactly).
+    radius < 1 in every recipe, so an 8-px extension covers the tails."""
     f32 = jnp.float32
     sigma = jnp.maximum(jnp.where(blur_on, radius, 0.0), 1e-3).astype(f32)
-    d = jnp.arange(crop, dtype=f32)
-    d2 = (d[:, None] - d[None, :]) ** 2
-    g = jnp.exp(-d2 / (2.0 * sigma * sigma))
-    return g / g.sum(axis=1, keepdims=True)
+    ext = 8
+    i = jnp.arange(crop, dtype=f32)
+    pos = jnp.arange(-ext, crop + ext, dtype=f32)
+    g = jnp.exp(-((i[:, None] - pos[None, :]) ** 2) / (2.0 * sigma * sigma))
+    g = g / g.sum(axis=1, keepdims=True)
+    m = g[:, ext : ext + crop]
+    m = m.at[:, 0].add(g[:, :ext].sum(axis=1))
+    m = m.at[:, -1].add(g[:, ext + crop :].sum(axis=1))
+    return m
 
 
 def apply_params(
@@ -306,12 +319,21 @@ def _scale_matrix(scale_out, src: int, n_rows: int):
     f32 = jnp.float32
     g = jnp.arange(n_rows, dtype=jnp.int32)
     valid = g < scale_out
+    return _scale_rows(g, scale_out, src) * valid[:, None]
+
+
+def _scale_rows(k, scale_out, src: int):
+    """Selected rows ``k`` of the scale-resize matrix, computed directly
+    from the triangle formula (no (n_rows, src) materialization + gather
+    — at the bdd/custom shapes that intermediate is ~3× the two needed
+    row sets). k i32 (rows,) — taps outside [0, scale_out) must already
+    carry zero weight from the caller (``_two_tap`` guarantees it)."""
+    f32 = jnp.float32
     scale = jnp.asarray(src, f32) / scale_out.astype(f32)
     fscale = jnp.maximum(scale, 1.0)
-    center = (g.astype(f32) + 0.5) * scale
+    center = (k.astype(f32) + 0.5) * scale
     j = jnp.arange(src, dtype=f32) + 0.5
     w = jnp.maximum(0.0, 1.0 - jnp.abs(j[None, :] - center[:, None]) / fscale)
-    w = w * valid[:, None]
     return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
 
 
@@ -322,7 +344,7 @@ def _custom_rows(g0, flip_rows, crop: int):
     return g0 + jnp.where(flip_rows, crop - 1 - i, i)
 
 
-def _custom_axis_image(scale_out, g0, flip_rows, src: int, crop: int, n_scale_rows: int, multi: bool):
+def _custom_axis_image(scale_out, g0, flip_rows, src: int, crop: int, multi: bool):
     """Per-sample (crop, src) total image sampling matrix for one axis:
     guard+crop (two-tap) composed over the multi-scale resize matrix."""
     f32 = jnp.float32
@@ -338,8 +360,10 @@ def _custom_axis_image(scale_out, g0, flip_rows, src: int, crop: int, n_scale_ro
             w0[:, None] * (j[None, :] == k0[:, None]).astype(f32)
             + w1[:, None] * (j[None, :] == k1[:, None]).astype(f32)
         )
-    s = _scale_matrix(scale_out, src, n_scale_rows)
-    return w0[:, None] * jnp.take(s, k0, axis=0) + w1[:, None] * jnp.take(s, k1, axis=0)
+    # Rows k0/k1 of the scale matrix computed directly (k clipped into
+    # range by _two_tap, whose weights are zero for out-of-range taps;
+    # in-range rows never need the validity mask).
+    return w0[:, None] * _scale_rows(k0, scale_out, src) + w1[:, None] * _scale_rows(k1, scale_out, src)
 
 
 def _custom_axis_nearest(scale_out, g0, flip_rows, src: int, crop: int):
@@ -387,15 +411,13 @@ def apply_custom_params(
         return ci.astype(jnp.float32), cm.astype(jnp.int32)
     oh = _custom_dims(scales, src_h)[params.scale_k]
     ow = _custom_dims(scales, src_w)[params.scale_k]
-    mh_rows = max(int(src_h * s) for s in scales)
-    mw_rows = max(int(src_w * s) for s in scales)
     no_flip = jnp.zeros_like(params.flip)
 
     wh = jax.vmap(
-        lambda so, g0, f: _custom_axis_image(so, g0, f, src_h, crop_size, mh_rows, multi)
+        lambda so, g0, f: _custom_axis_image(so, g0, f, src_h, crop_size, multi)
     )(oh, params.y1, no_flip)
     ww = jax.vmap(
-        lambda so, g0, f: _custom_axis_image(so, g0, f, src_w, crop_size, mw_rows, multi)
+        lambda so, g0, f: _custom_axis_image(so, g0, f, src_w, crop_size, multi)
     )(ow, params.x1, params.flip)
     nh = jax.vmap(lambda so, g0, f: _custom_axis_nearest(so, g0, f, src_h, crop_size))(
         oh, params.y1, no_flip
@@ -463,5 +485,71 @@ def make_device_augment_custom(
             images, masks, params,
             crop_size=crop_size, scales=use_scales, compute_dtype=cd,
         )
+
+    return augment
+
+
+# ---------------------------------------------------------------------------
+# BDD100K keep-original-size chain (reference:bdd100k.py:242-259): hflip
+# (p=0.5) → Gaussian blur (p=blur_p, default 0.3, radius U[0,1)) at the
+# native resolution — no resize, no crop, no pad.
+# ---------------------------------------------------------------------------
+
+
+class OriginalAugParams(NamedTuple):
+    """Per-sample draws for the keep-original-size chain (each (B,))."""
+
+    flip: jnp.ndarray  # bool — hflip at native resolution
+    blur_on: jnp.ndarray  # bool — Bernoulli(blur_p)
+    radius: jnp.ndarray  # f32 in [0, 1)
+
+
+def draw_original_params(key, batch: int, blur_p: float) -> OriginalAugParams:
+    """Reference distributions (reference:bdd100k.py:246-258):
+    Bernoulli(0.5) flip, Bernoulli(blur_p) blur, radius U[0,1)."""
+    kf, kb, kr = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(kf, 0.5, (batch,))
+    blur_on = jax.random.bernoulli(kb, float(blur_p), (batch,))
+    radius = jax.random.uniform(kr, (batch,), jnp.float32)
+    return OriginalAugParams(flip, blur_on, radius)
+
+
+def apply_original_params(
+    images,
+    masks,
+    params: OriginalAugParams,
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Apply flip + separable Gaussian blur at native resolution.
+
+    images: (B, H, W, 3) uint8/float; masks: (B, H, W) int32 (already
+    label-transformed). Returns (B, H, W, 3) f32 in [0, 255] and the
+    flipped masks (blur never touches labels). The blur is the same
+    per-sample band-matrix operator as the PSP chain's `_blur_matrix`
+    (true truncated Gaussian; the PIL 3-pass box approximation parity
+    is gated statistically like the PSP chain), applied as one (H, H)
+    and one (W, W) batched matmul — MXU work, no host cost.
+    """
+    src_h, src_w = int(images.shape[1]), int(images.shape[2])
+    cd = compute_dtype
+    flip = params.flip
+    x = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images).astype(cd)
+    gh = jax.vmap(_blur_matrix, in_axes=(0, 0, None))(params.blur_on, params.radius, src_h)
+    gw = jax.vmap(_blur_matrix, in_axes=(0, 0, None))(params.blur_on, params.radius, src_w)
+    t = jnp.einsum("bih,bhwc->biwc", gh.astype(cd), x)
+    img = jnp.einsum("bjw,biwc->bijc", gw.astype(cd), t).astype(jnp.float32)
+    img = jnp.clip(img, 0.0, 255.0)
+    mask = jnp.where(flip[:, None, None], masks[:, :, ::-1], masks).astype(jnp.int32)
+    return img, mask
+
+
+def make_device_augment_original(*, blur_p: float = 0.3, compute_dtype=jnp.bfloat16):
+    """Build ``augment(images_u8, masks_i32, key)`` for the BDD100K
+    keep-original-size chain, for use inside the jitted train step."""
+
+    def augment(images, masks, key):
+        params = draw_original_params(key, images.shape[0], blur_p)
+        return apply_original_params(images, masks, params, compute_dtype=compute_dtype)
 
     return augment

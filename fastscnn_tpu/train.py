@@ -280,7 +280,16 @@ class Trainer:
         compute_dtype = jnp.bfloat16 if args.fp16 else jnp.float32
         device_aug = None
         if train_mode == "device-aug":
-            if getattr(self.train_ds, "DEVICE_AUG_CHAIN", "psp") == "custom":
+            chain = getattr(self.train_ds, "DEVICE_AUG_CHAIN", "psp")
+            if chain == "original":
+                # BDD100K --keep-original-size: flip + blur(p=0.3) at
+                # native resolution (reference:bdd100k.py:242-259).
+                from fastscnn_tpu.data.device_aug import make_device_augment_original
+
+                device_aug = make_device_augment_original(
+                    blur_p=0.3, compute_dtype=compute_dtype
+                )
+            elif chain == "custom":
                 from fastscnn_tpu.data.device_aug import make_device_augment_custom
 
                 device_aug = make_device_augment_custom(

@@ -239,3 +239,68 @@ def test_train_custom_device_aug(custom_root, tmp_path, monkeypatch):
     assert int(state.step) == trainer.iters_per_epoch
     log = json.load(open("logs/training_log_custom.json"))
     assert np.isfinite(log[-1]["train_loss"])
+
+@pytest.fixture(scope="module")
+def bdd_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bdd_ds")
+    rng = np.random.default_rng(4)
+    for split, n in (("train", 6), ("val", 2)):
+        img_dir = root / "images" / "100k" / split
+        lbl_dir = root / "drivable_maps" / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(n):
+            img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+            mask = rng.choice([0, 1, 2], size=(48, 64)).astype(np.uint8)
+            Image.fromarray(img).save(img_dir / f"img{i:04d}.jpg")
+            Image.fromarray(mask).save(lbl_dir / f"img{i:04d}_drivable_id.png")
+    return str(root)
+
+
+def test_train_bdd100k_device_aug_keep_original_size(bdd_root, tmp_path, monkeypatch):
+    """--device-aug with --keep-original-size on bdd100k: the flip+blur
+    chain (reference:bdd100k.py:242-259) runs inside the jitted train
+    step at native resolution; the host ships raw uint8 frames."""
+    monkeypatch.chdir(tmp_path)
+    from fastscnn_tpu.train import Trainer, parse_args
+
+    args = parse_args(
+        [
+            "--dataset", "bdd100k",
+            "--data-root", bdd_root,
+            "--base-size", "48",
+            "--crop-size", "32",
+            "--epochs", "1",
+            "--batch-size", "2",
+            "--loss-type", "dice",
+            "--aux",
+            "--device-aug",
+            "--keep-original-size",
+            "--save-epoch", "100000",
+            "--print-interval", "100000",
+            "--num-workers", "1",
+        ]
+    )
+    trainer = Trainer(args)
+    assert trainer.train_ds.mode == "device-aug"
+    assert trainer.train_ds.DEVICE_AUG_CHAIN == "original"
+    imgs, masks = next(iter(trainer.train_loader))
+    assert imgs.shape[1:] == (48, 64, 3)  # native, not cropped
+    assert masks.shape[1:] == (48, 64)
+    state = trainer.train()
+    assert int(state.step) == trainer.iters_per_epoch
+    log = json.load(open("logs/training_log_bdd100k.json"))
+    assert np.isfinite(log[-1]["train_loss"])
+
+
+def test_bdd100k_device_aug_multi_scale_rejected(bdd_root):
+    """multi-scale-no-crop emits variable shapes — device-aug must refuse
+    loudly, not mis-batch."""
+    from fastscnn_tpu.data import get_segmentation_dataset
+
+    ds = get_segmentation_dataset(
+        "bdd100k", root=bdd_root, split="train", mode="device-aug",
+        base_size=48, crop_size=32, multi_scale=True,
+    )
+    with pytest.raises(ValueError, match="multi-scale"):
+        ds[0]

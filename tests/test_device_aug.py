@@ -498,3 +498,101 @@ def test_custom_augment_jits_and_batches():
     assert not np.array_equal(np.asarray(out_m[0]), np.asarray(out_m[1])) or not np.array_equal(
         np.asarray(out_i[0]), np.asarray(out_i[1])
     )
+
+
+# ---------------------------------------------------------------------------
+# BDD100K keep-original-size chain (reference:bdd100k.py:242-259):
+# hflip (p=0.5) → Gaussian blur (p=0.3, radius U[0,1)), native resolution.
+# ---------------------------------------------------------------------------
+
+from fastscnn_tpu.data.device_aug import (  # noqa: E402
+    OriginalAugParams,
+    apply_original_params,
+    draw_original_params,
+    make_device_augment_original,
+)
+
+
+def _pil_original_apply(img_arr, mask_arr, flip, blur_on, radius):
+    """The reference keep-original-size chain with injected params
+    (reference:bdd100k.py:242-259, our transforms.py::original_size)."""
+    img = Image.fromarray(img_arr)
+    mask = Image.fromarray(mask_arr.astype(np.uint8))
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+    if blur_on:
+        img = img.filter(ImageFilter.GaussianBlur(radius=radius))
+    return np.asarray(img, np.float32), np.asarray(mask, np.int32)
+
+
+def _device_original_apply(img, mask, flip, blur_on, radius,
+                           compute_dtype=jnp.float32):
+    p = OriginalAugParams(
+        jnp.array([flip]), jnp.array([blur_on]),
+        jnp.array([radius], jnp.float32),
+    )
+    di, dm = apply_original_params(
+        jnp.asarray(img)[None], jnp.asarray(mask)[None], p,
+        compute_dtype=compute_dtype,
+    )
+    return np.asarray(di[0]), np.asarray(dm[0])
+
+
+def test_original_flip_only_exact_vs_pil():
+    img, mask = _binary_fixture()
+    for flip in (False, True):
+        ref_img, ref_mask = _pil_original_apply(img, mask, flip, False, 0.0)
+        di, dm = _device_original_apply(img, mask, flip, False, 0.0)
+        # no resampling at all: lane reverse + identity blur is exact
+        assert np.abs(di - ref_img).max() <= 1e-4, flip
+        assert (dm == ref_mask).all()
+
+
+def test_original_blur_close_to_pil():
+    img, mask = _binary_fixture()
+    rng = np.random.default_rng(21)
+    for _ in range(6):
+        flip = bool(rng.integers(0, 2))
+        radius = float(rng.random())
+        ref_img, ref_mask = _pil_original_apply(img, mask, flip, True, radius)
+        di, dm = _device_original_apply(img, mask, flip, True, radius)
+        # true Gaussian vs PIL's 3-pass box approximation (edges
+        # replicate in both, matching PIL)
+        assert np.abs(di - ref_img).max() <= 14.0, (flip, radius)
+        assert np.abs(di - ref_img).mean() <= 1.2
+        assert (dm == ref_mask).all()  # blur never touches labels
+
+
+def test_original_draw_distributions_match_reference():
+    p = draw_original_params(jax.random.PRNGKey(7), 8192, 0.3)
+    assert abs(np.asarray(p.flip).mean() - 0.5) < 0.05
+    assert abs(np.asarray(p.blur_on).mean() - 0.3) < 0.05  # blur_p=0.3
+    r = np.asarray(p.radius)
+    assert r.min() >= 0.0 and r.max() < 1.0
+
+
+def test_original_bf16_stays_close():
+    img, mask = _binary_fixture()
+    ref_img, _ = _pil_original_apply(img, mask, True, True, 0.7)
+    di, dm = _device_original_apply(img, mask, True, True, 0.7,
+                                    compute_dtype=jnp.bfloat16)
+    assert np.abs(di - ref_img).max() <= 15.0
+    assert (dm == _pil_original_apply(img, mask, True, False, 0.0)[1]).all()
+
+
+def test_original_augment_jits_and_batches():
+    img, mask = _binary_fixture()
+    imgs = np.stack([img] * 4)
+    masks = np.stack([mask] * 4)
+    aug = make_device_augment_original(blur_p=0.3)
+    out_i, out_m = jax.jit(aug)(
+        jnp.asarray(imgs), jnp.asarray(masks), jax.random.PRNGKey(11)
+    )
+    # native resolution preserved — no crop, no pad
+    assert out_i.shape == (4, H, W, 3) and out_i.dtype == jnp.float32
+    assert out_m.shape == (4, H, W) and out_m.dtype == jnp.int32
+    # every mask is the original or its mirror (flip is the only label op)
+    for b in range(4):
+        m = np.asarray(out_m[b])
+        assert (m == mask).all() or (m == mask[:, ::-1]).all()
