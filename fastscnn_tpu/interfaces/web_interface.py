@@ -37,6 +37,7 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 <body>
 <h2>fastscnn-tpu realtime dashboard</h2>
 <div id="stats"></div>
+<div id="system" style="color:#9c9"></div>
 <div>
  <button onclick="api('start_driving')">Start driving</button>
  <button id="estop" onclick="api('emergency_stop')">EMERGENCY STOP</button>
@@ -60,7 +61,17 @@ async function updateParams() {
 }
 setInterval(async () => {
   const s = await (await fetch('/api/stats')).json();
+  const sys = s.system || {}, dev = s.device || {};
+  delete s.system; delete s.device;
   document.getElementById('stats').innerText = JSON.stringify(s);
+  let line = `host: cpu ${sys.cpu_percent ?? '?'}% mem ${sys.mem_percent ?? '?'}%`;
+  if (dev.platform) {
+    line += ` | ${dev.device_kind || dev.platform}`;
+    if (dev.bytes_in_use != null)
+      line += `: ${(dev.bytes_in_use / 1048576).toFixed(0)} MiB` +
+              (dev.mem_percent != null ? ` (${dev.mem_percent}%)` : '');
+  }
+  document.getElementById('system').innerText = line;
 }, 500);
 </script>
 </body></html>
@@ -124,16 +135,15 @@ class DashboardServer:
                     stats.pop("control_map", None)
                     stats.pop("visualization", None)
                     # system monitor (the reference's psutil/npu-smi thread,
-                    # reference:lane_dashboard.py:380-)
-                    try:
-                        import psutil
+                    # reference:lane_dashboard.py:380-): host CPU/mem plus
+                    # accelerator memory from the PJRT client
+                    from fastscnn_tpu.utils.system_monitor import (
+                        device_stats,
+                        host_stats,
+                    )
 
-                        stats["system"] = {
-                            "cpu_percent": psutil.cpu_percent(interval=None),
-                            "mem_percent": psutil.virtual_memory().percent,
-                        }
-                    except Exception:
-                        pass
+                    stats["system"] = host_stats()
+                    stats["device"] = device_stats()
                     self._json(stats)
                 elif self.path == "/api/control_status":
                     ctrl = pipeline.controller

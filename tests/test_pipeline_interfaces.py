@@ -147,6 +147,15 @@ def test_web_dashboard_api():
             time.sleep(0.2)
         assert stats["frame_count"] >= 2
 
+        # system-monitor payload (reference:lane_dashboard.py:380-):
+        # host CPU/mem always present; device identity present because the
+        # test process has jax imported (memory figures are backend-best-
+        # effort — CPU PJRT reports none)
+        assert "cpu_percent" in stats["system"]
+        assert 0.0 <= stats["system"]["mem_percent"] <= 100.0
+        assert stats["device"].get("platform") == "cpu"
+        assert stats["device"].get("device_count", 0) >= 1
+
         # root page serves the dashboard
         html = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
         assert "dashboard" in html
@@ -236,3 +245,41 @@ def test_realtime_pipeline_no_path_frame_does_not_crash():
     assert stats["frame_count"] == 3
     assert stats["pwm_left"] == 0 and stats["pwm_right"] == 0
     assert stats["turn_direction"] == "straight"
+
+
+def test_system_monitor_proc_fallback(monkeypatch):
+    """host_stats must survive a psutil-less box via /proc (the module
+    is the port of reference:lane_dashboard.py:380-'s psutil thread, but
+    psutil is an optional extra in pyproject). Two samples are needed
+    for a CPU delta; values must be sane percentages."""
+    import builtins
+
+    from fastscnn_tpu.utils import system_monitor
+
+    real_import = builtins.__import__
+
+    def no_psutil(name, *a, **kw):
+        if name == "psutil":
+            raise ImportError("psutil disabled for test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_psutil)
+    monkeypatch.setattr(system_monitor, "_prev_cpu", None)
+    first = system_monitor.host_stats()
+    assert first["cpu_percent"] == 0.0  # no delta on the first sample
+    second = system_monitor.host_stats()
+    assert 0.0 <= second["cpu_percent"] <= 100.0
+    assert 0.0 < second["mem_percent"] < 100.0
+    assert second["mem_total_mb"] > second["mem_available_mb"] > 0
+
+
+def test_device_stats_never_initializes_jax(monkeypatch):
+    """device_stats must return {} rather than import jax itself — a
+    stats poll must never be what claims the accelerator (a TPU claim
+    from the dashboard would contend with the serving process)."""
+    import sys
+
+    from fastscnn_tpu.utils import system_monitor
+
+    monkeypatch.setitem(sys.modules, "jax", None)
+    assert system_monitor.device_stats() == {}
