@@ -146,6 +146,16 @@ def main():
             continue
         sps = batch / dt
         print(f"batch {batch}: {sps:.1f} samples/s ({dt * 1e3:.2f} ms/step)", file=sys.stderr)
+        profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+        if profile_dir:
+            # per-op xplane trace of the exact benched program (pass the
+            # dir to fastscnn_tpu.tools.xplane with --iters <iters>)
+            from fastscnn_tpu.utils.profiling import device_trace
+
+            with device_trace(os.path.join(profile_dir, f"batch{batch}")):
+                step, acc = bench(state, images, targets)
+                _ = np.asarray(acc)
+            print(f"profile trace → {profile_dir}/batch{batch}", file=sys.stderr)
         if sps > best_sps:
             best_sps, best_batch = sps, batch
     print(

@@ -86,23 +86,63 @@ def device_op_table(trace_dir: str):
     return out, total_ps / 1e12, path
 
 
+# v5e single-chip peaks (same constants as bench.py's MFU line)
+HBM_GBPS = 819.0
+MXU_TFLOPS_BF16 = 197.0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--iters", type=int, default=1,
                     help="bench iterations inside the traced block")
+    ap.add_argument("--roofline", action="store_true",
+                    help="add per-op FLOPs, HBM/MXU floor times, the "
+                    "binding roofline, and %%-of-floor columns (v5e "
+                    "peaks: 197 TFLOP/s bf16, 819 GB/s HBM). NB a "
+                    "VMEM-resident fusion can legitimately sit far above "
+                    "both floors — the floors bound, they don't explain.")
     args = ap.parse_args(argv)
     rows, total_s, path = device_op_table(args.trace_dir)
     k = args.iters
     print(f"# {path}")
     print(f"# device total: {1e3 * total_s / k:.2f} ms/iter over {len(rows)} ops")
-    print(f"{'ms/iter':>9} {'%':>5} {'count':>6} {'GB/s':>7}  name")
+    if not args.roofline:
+        print(f"{'ms/iter':>9} {'%':>5} {'count':>6} {'GB/s':>7}  name")
+        for r in rows[: args.top]:
+            ms = 1e3 * r["time_ps"] / 1e12 / k
+            pct = 100.0 * r["time_ps"] / (total_s * 1e12) if total_s else 0.0
+            gbs = (r["bytes"] / (r["time_ps"] / 1e12) / 1e9) if r["time_ps"] else 0.0
+            print(f"{ms:9.3f} {pct:5.1f} {r['count']:6d} {gbs:7.0f}  {r['name'][:110]}")
+        return
+    print(f"{'ms/iter':>9} {'%':>5} {'GB/s':>7} {'GFLOP':>8} "
+          f"{'hbm_ms':>8} {'mxu_ms':>8} {'bound':>5} {'xfloor':>7}  name")
+    floor_total_ms = 0.0
+    for r in rows:
+        ms = 1e3 * r["time_ps"] / 1e12 / k
+        hbm_ms = 1e3 * (r["bytes"] / k) / (HBM_GBPS * 1e9)
+        mxu_ms = 1e3 * (r["flops"] / k) / (MXU_TFLOPS_BF16 * 1e12)
+        floor_total_ms += max(hbm_ms, mxu_ms)
     for r in rows[: args.top]:
         ms = 1e3 * r["time_ps"] / 1e12 / k
         pct = 100.0 * r["time_ps"] / (total_s * 1e12) if total_s else 0.0
         gbs = (r["bytes"] / (r["time_ps"] / 1e12) / 1e9) if r["time_ps"] else 0.0
-        print(f"{ms:9.3f} {pct:5.1f} {r['count']:6d} {gbs:7.0f}  {r['name'][:110]}")
+        gflop = r["flops"] / k / 1e9
+        hbm_ms = 1e3 * (r["bytes"] / k) / (HBM_GBPS * 1e9)
+        mxu_ms = 1e3 * (r["flops"] / k) / (MXU_TFLOPS_BF16 * 1e12)
+        bound = "mxu" if mxu_ms > hbm_ms else "hbm"
+        floor = max(hbm_ms, mxu_ms)
+        xfloor = ms / floor if floor > 0 else float("inf")
+        print(f"{ms:9.3f} {pct:5.1f} {gbs:7.0f} {gflop:8.2f} "
+              f"{hbm_ms:8.3f} {mxu_ms:8.3f} {bound:>5} "
+              f"{xfloor:7.1f}x  {r['name'][:90]}")
+    total_ms = 1e3 * total_s / k
+    print(f"# composable bound: sum of per-op max(hbm,mxu) floors = "
+          f"{floor_total_ms:.2f} ms/iter → E2E at "
+          f"{100.0 * floor_total_ms / total_ms:.0f}% of measured "
+          f"({total_ms:.2f} ms); ops above both floors are VMEM/VPU/"
+          f"schedule-bound, not mismeasured")
 
 
 if __name__ == "__main__":
