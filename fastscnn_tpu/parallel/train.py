@@ -106,6 +106,7 @@ def make_train_step(
     spatial_shard: bool = False,
     grad_accum: int = 1,
     device_aug=None,
+    jit: bool = True,
 ):
     """Build the jitted sharded train step.
 
@@ -234,6 +235,14 @@ def make_train_step(
             step=state.step + 1,
         )
         return new_state, {"loss": loss}
+
+    if not jit:
+        # the raw traceable step, for callers that embed it in a larger
+        # jitted program (bench_train's on-device fori_loop, which
+        # amortizes the sandbox relay's ~10 ms/dispatch host overhead)
+        if mesh is not None:
+            raise ValueError("jit=False is single-device only")
+        return step
 
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
