@@ -255,6 +255,12 @@ class BatchingPredictor:
             out["latency_ms_p50"] = statistics.median(lats)
             out["latency_ms_p95"] = srt[int(0.95 * (len(srt) - 1))]
             out["latency_ms_p99"] = srt[int(0.99 * (len(srt) - 1))]
+        # same system-monitor payload as the dashboard's /api/stats
+        # (reference:lane_dashboard.py:380- psutil/npu-smi thread)
+        from fastscnn_tpu.utils.system_monitor import device_stats, host_stats
+
+        out["system"] = host_stats()
+        out["device"] = device_stats()
         return out
 
     def stop(self):

@@ -103,6 +103,9 @@ def test_http_server_roundtrip():
 
         stats = json.loads(urllib.request.urlopen(f"{base}/stats", timeout=5).read())
         assert stats["requests"] >= 2
+        # system-monitor payload mirrors the dashboard's /api/stats
+        assert "cpu_percent" in stats["system"]
+        assert stats["device"].get("platform") == "cpu"
 
         # malformed body → 400
         req = urllib.request.Request(f"{base}/predict", data=b"not an image", method="POST")
