@@ -138,11 +138,15 @@ def main(argv=None):
               f"{hbm_ms:8.3f} {mxu_ms:8.3f} {bound:>5} "
               f"{xfloor:7.1f}x  {r['name'][:90]}")
     total_ms = 1e3 * total_s / k
-    print(f"# composable bound: sum of per-op max(hbm,mxu) floors = "
-          f"{floor_total_ms:.2f} ms/iter → E2E at "
-          f"{100.0 * floor_total_ms / total_ms:.0f}% of measured "
-          f"({total_ms:.2f} ms); ops above both floors are VMEM/VPU/"
-          f"schedule-bound, not mismeasured")
+    if total_ms > 0 and floor_total_ms > 0:
+        print(f"# composable bound: sum of per-op max(hbm,mxu) floors = "
+              f"{floor_total_ms:.2f} ms/iter → floor is "
+              f"{100.0 * floor_total_ms / total_ms:.0f}% of measured "
+              f"({total_ms:.2f} ms); ops above both floors are VMEM/VPU/"
+              f"schedule-bound, not mismeasured")
+    else:
+        print("# no device ops with cost stats in this trace "
+              "(CPU traces carry no TPU op plane)")
 
 
 if __name__ == "__main__":
