@@ -95,6 +95,8 @@ def main():
                     "hbm_gbps": round(
                         ca.get("bytes accessed", 0.0) / iters / dt / 1e9, 1
                     ),
+                    # why single-digit MFU/HBM% is the honest ceiling here:
+                    "roofline": "docs/PERFORMANCE.md#roofline-ledger",
                 }
             except Exception as e:
                 best_eff = {"cost_analysis_error": str(e)[:120]}
