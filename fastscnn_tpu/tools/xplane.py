@@ -73,7 +73,11 @@ def device_op_table(trace_dir: str):
                 r = rows[name]
                 r["time_ps"] += event.duration_ps
                 r["count"] += 1
-                for stat in event.stats:
+                # cost stats appear on the event in older profiler
+                # versions and on the event *metadata* (per-symbol,
+                # constant per execution) in newer ones — read both
+                md_stats = list(md.stats) if md is not None else []
+                for stat in list(event.stats) + md_stats:
                     sm = stat_meta.get(stat.metadata_id)
                     key = sm.name if sm else ""
                     if key == "bytes_accessed":
