@@ -294,3 +294,36 @@ def test_train_step_dp_mesh_stem_variants(setup, rng, impl):
         assert np.isfinite(losses[stem])
         assert int(state.step) == 1
     assert abs(losses["xla"] - losses[impl]) < 1e-5, losses
+
+
+def test_raw_step_matches_jitted(setup, rng):
+    """make_train_step(jit=False) returns the same traceable step the
+    jitted builder wraps (bench_train embeds it in an on-device
+    fori_loop): one step from one state must match the jitted result
+    bitwise, including under grad-accum."""
+    model, optimizer, state = setup
+    loss_fn = get_loss_fn("dice", aux=True)
+    images, targets = _batch(rng)
+    targets = jnp.clip(targets, 0, 1)
+    for ga in (1, 2):
+        jitted = make_train_step(model, loss_fn, optimizer, grad_accum=ga)
+        raw = make_train_step(model, loss_fn, optimizer, grad_accum=ga, jit=False)
+        # the jitted builder donates argnum 0 (deletes the passed state's
+        # buffers), so each call gets its own identical fresh state
+        s2, m2 = jax.jit(raw)(
+            create_train_state(model, optimizer, key=jax.random.PRNGKey(0)),
+            images, targets, jax.random.PRNGKey(7))
+        s1, m1 = jitted(
+            create_train_state(model, optimizer, key=jax.random.PRNGKey(0)),
+            images, targets, jax.random.PRNGKey(7))
+        assert float(m1["loss"]) == float(m2["loss"])
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_raw_step_rejects_mesh(setup):
+    model, optimizer, _ = setup
+    loss_fn = get_loss_fn("dice", aux=True)
+    with pytest.raises(ValueError, match="single-device"):
+        make_train_step(model, loss_fn, optimizer, mesh=make_mesh(n_data=8), jit=False)
