@@ -102,6 +102,14 @@ def device_stats() -> dict:
     if jax is None:
         return {}
     try:
+        # a live backend must already exist: jax.local_devices() would
+        # otherwise *initialize* one right here (and on this sandbox a
+        # TPU claim from a stats poll wedges the process that owns the
+        # chip). If liveness can't be determined, stay silent.
+        from jax._src import xla_bridge as _xb
+
+        if not getattr(_xb, "_backends", None):
+            return {}
         dev = jax.local_devices()[0]
     except Exception:
         return {}

@@ -148,9 +148,13 @@ def test_web_dashboard_api():
         assert stats["frame_count"] >= 2
 
         # system-monitor payload (reference:lane_dashboard.py:380-):
-        # host CPU/mem always present; device identity present because the
-        # test process has jax imported (memory figures are backend-best-
-        # effort — CPU PJRT reports none)
+        # host CPU/mem always present; device identity present only when
+        # a backend is LIVE (device_stats never initializes one) — make
+        # one live the way a real serving process would have
+        import jax.numpy as jnp
+
+        jnp.zeros(1).block_until_ready()
+        stats = json.loads(urllib.request.urlopen(f"{base}/api/stats", timeout=5).read())
         assert "cpu_percent" in stats["system"]
         assert 0.0 <= stats["system"]["mem_percent"] <= 100.0
         assert stats["device"].get("platform") == "cpu"
@@ -281,5 +285,14 @@ def test_device_stats_never_initializes_jax(monkeypatch):
 
     from fastscnn_tpu.utils import system_monitor
 
+    # jax imported but NO live backend: {} — calling jax.local_devices()
+    # here would initialize (and on the sandbox, claim the TPU)
+    from jax._src import xla_bridge as xb
+
+    monkeypatch.setattr(xb, "_backends", {}, raising=False)
+    assert system_monitor.device_stats() == {}
+    monkeypatch.undo()
+
+    # jax not imported at all: {}
     monkeypatch.setitem(sys.modules, "jax", None)
     assert system_monitor.device_stats() == {}
