@@ -875,6 +875,23 @@ def run_onnx(model, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             y = win[:, :, ::sh, ::sw].max(axis=(-2, -1))
         elif op == "Constant":
             y = a["value"]
+        elif op == "Shape":
+            # torch's tracer wires Resize sizes through Shape→Slice→Concat
+            y = np.asarray(ins[0].shape, dtype=np.int64)
+        elif op == "Slice":
+            data = ins[0]
+            starts = np.atleast_1d(ins[1]).astype(np.int64)
+            ends = np.atleast_1d(ins[2]).astype(np.int64)
+            axes = (np.atleast_1d(ins[3]).astype(np.int64)
+                    if len(ins) > 3 and ins[3] is not None
+                    else np.arange(len(starts), dtype=np.int64))
+            steps = (np.atleast_1d(ins[4]).astype(np.int64)
+                     if len(ins) > 4 and ins[4] is not None
+                     else np.ones(len(starts), dtype=np.int64))
+            slicer = [slice(None)] * data.ndim
+            for st, en, ax, sp in zip(starts, ends, axes, steps):
+                slicer[int(ax) % data.ndim] = slice(int(st), int(en), int(sp))
+            y = data[tuple(slicer)]
         else:
             raise NotImplementedError(f"op {op} (node {node.name})")
         for out_name in node.outputs:
