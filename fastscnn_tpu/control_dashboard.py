@@ -68,11 +68,19 @@ def parse_args(argv=None):
     parser.add_argument("--serial-baudrate", type=int, default=115200)
     parser.add_argument("--auto-start-driving", action="store_true", default=False)
     parser.add_argument("--output-dir", type=str, default="./output")
+    parser.add_argument("--cpu", action="store_true", default=False,
+                        help="force CPU (flag parity with the reference's --cpu; "
+                             "applied post-import so it also overrides a "
+                             "sitecustomize-pinned platform)")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from fastscnn_tpu.control import VisualLateralErrorController
     from fastscnn_tpu.pipeline import build_session
 

@@ -180,7 +180,8 @@ class RealtimePipeline:
         with self.params_lock:
             params, self.pending_params = self.pending_params, {}
         for key, value in params.items():
-            if key in ("steering_gain", "base_pwm", "curvature_damping", "preview_distance"):
+            if key in ("steering_gain", "base_pwm", "curvature_damping",
+                       "preview_distance", "min_pwm", "max_pwm"):
                 setattr(self.controller, key, float(value))
             elif key == "ema_alpha":
                 self.controller.update_smoothing_params(ema_alpha=float(value))

@@ -42,23 +42,40 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
  <button onclick="api('start_driving')">Start driving</button>
  <button id="estop" onclick="api('emergency_stop')">EMERGENCY STOP</button>
 </div>
-<div>
+<div id="params">
  steering gain <input id="steering_gain" size="5">
  base pwm <input id="base_pwm" size="5">
+ preview distance <input id="preview_distance" size="5">
+ curvature damping <input id="curvature_damping" size="5">
+ min pwm <input id="min_pwm" size="5">
+ max pwm <input id="max_pwm" size="5">
  ema alpha <input id="ema_alpha" size="5">
+ smoothing <input type="checkbox" id="enable_smoothing">
  <button onclick="updateParams()">Update params</button>
 </div>
 <img src="/video_feed" width="640">
 <script>
+const NUM_PARAMS = ['steering_gain','base_pwm','preview_distance',
+                    'curvature_damping','min_pwm','max_pwm','ema_alpha'];
 async function api(name) { await fetch('/api/' + name, {method: 'POST'}); }
 async function updateParams() {
   const body = {};
-  for (const k of ['steering_gain','base_pwm','ema_alpha']) {
+  for (const k of NUM_PARAMS) {
     const v = document.getElementById(k).value;
     if (v) body[k] = parseFloat(v);
   }
+  body.enable_smoothing = document.getElementById('enable_smoothing').checked;
   await fetch('/api/update_params', {method: 'POST', body: JSON.stringify(body)});
 }
+async function loadControlStatus() {
+  const s = await (await fetch('/api/control_status')).json();
+  for (const k of NUM_PARAMS) {
+    const el = document.getElementById(k);
+    if (!el.value && s[k] != null) el.value = s[k];
+  }
+  document.getElementById('enable_smoothing').checked = !!s.enable_smoothing;
+}
+loadControlStatus();
 setInterval(async () => {
   const s = await (await fetch('/api/stats')).json();
   const sys = s.system || {}, dev = s.device || {};
@@ -157,6 +174,8 @@ class DashboardServer:
                             "base_pwm": ctrl.base_pwm,
                             "curvature_damping": ctrl.curvature_damping,
                             "preview_distance": ctrl.preview_distance,
+                            "min_pwm": ctrl.min_pwm,
+                            "max_pwm": ctrl.max_pwm,
                             "ema_alpha": ctrl.ema_alpha,
                             "enable_smoothing": ctrl.enable_smoothing,
                         }

@@ -75,11 +75,25 @@ def device_op_table(trace_dir: str):
                 r["count"] += 1
                 # cost stats appear on the event in older profiler
                 # versions and on the event *metadata* (per-symbol,
-                # constant per execution) in newer ones — read both
-                md_stats = list(md.stats) if md is not None else []
-                for stat in list(event.stats) + md_stats:
+                # constant per execution) in newer ones. Per stat key,
+                # prefer the event-level value and fall back to the
+                # metadata value only when the key is absent from
+                # event.stats — a version emitting both would otherwise
+                # double every op's bytes/flops (and the roofline).
+                ev_keys = set()
+                for stat in event.stats:
                     sm = stat_meta.get(stat.metadata_id)
                     key = sm.name if sm else ""
+                    ev_keys.add(key)
+                    if key == "bytes_accessed":
+                        r["bytes"] += stat.int64_value or stat.uint64_value
+                    elif key == "flops":
+                        r["flops"] += stat.int64_value or stat.uint64_value
+                for stat in (list(md.stats) if md is not None else []):
+                    sm = stat_meta.get(stat.metadata_id)
+                    key = sm.name if sm else ""
+                    if key in ev_keys:
+                        continue
                     if key == "bytes_accessed":
                         r["bytes"] += stat.int64_value or stat.uint64_value
                     elif key == "flops":

@@ -32,12 +32,18 @@ _ENV = {
 
 def _installed():
     """True iff fastscnn_tpu resolves outside this repo checkout (i.e.
-    via the installed distribution, editable or not)."""
+    via the installed distribution, editable or not).  A probe failure
+    (timeout on a loaded box, missing interpreter, OSError) must read as
+    "not installed" → the file SKIPS, rather than erroring the whole
+    pytest session at collection time."""
     code = "import fastscnn_tpu, sys; print(fastscnn_tpu.__file__)"
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd="/", env=_ENV, timeout=120,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            cwd="/", env=_ENV, timeout=120,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return False
     return proc.returncode == 0
 
 

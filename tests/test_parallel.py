@@ -317,6 +317,10 @@ def test_raw_step_matches_jitted(setup, rng):
             create_train_state(model, optimizer, key=jax.random.PRNGKey(0)),
             images, targets, jax.random.PRNGKey(7))
         assert float(m1["loss"]) == float(m2["loss"])
+        # zip() truncates silently — pin the tree structures first so a
+        # restore/step that drops trailing leaves cannot pass vacuously.
+        assert (jax.tree_util.tree_structure(s1.params)
+                == jax.tree_util.tree_structure(s2.params))
         for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                         jax.tree_util.tree_leaves(s2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -160,22 +160,44 @@ def test_web_dashboard_api():
         assert stats["device"].get("platform") == "cpu"
         assert stats["device"].get("device_count", 0) >= 1
 
-        # root page serves the dashboard
+        # root page serves the dashboard, with an input for EVERY hot
+        # controller parameter (the reference UI tunes the full set,
+        # reference:kuruma/interfaces/web_interface.py:743-779)
         html = urllib.request.urlopen(f"{base}/", timeout=5).read().decode()
         assert "dashboard" in html
+        hot_params = {
+            "steering_gain": 72.5,
+            "base_pwm": 311.0,
+            "preview_distance": 41.0,
+            "curvature_damping": 0.23,
+            "min_pwm": 55.0,
+            "max_pwm": 890.0,
+            "ema_alpha": 0.9,
+        }
+        for name in [*hot_params, "enable_smoothing"]:
+            assert f'id="{name}"' in html, f"dashboard HTML missing input {name}"
 
-        # hot param update reaches the controller
+        # hot param update reaches the controller — round-trip each of
+        # the 7 numeric params + the smoothing toggle through the HTTP
+        # surface and back out of /api/control_status
         req = urllib.request.Request(
             f"{base}/api/update_params",
-            data=json.dumps({"steering_gain": 72.5, "ema_alpha": 0.9}).encode(),
+            data=json.dumps({**hot_params, "enable_smoothing": False}).encode(),
             method="POST",
         )
         assert json.loads(urllib.request.urlopen(req, timeout=5).read())["status"] == "ok"
         deadline = time.time() + 10
         while time.time() < deadline and pipeline.controller.steering_gain != 72.5:
             time.sleep(0.1)
-        assert pipeline.controller.steering_gain == 72.5
-        assert pipeline.controller.ema_alpha == 0.9
+        for name, value in hot_params.items():
+            assert getattr(pipeline.controller, name) == value, name
+        assert pipeline.controller.enable_smoothing is False
+        status = json.loads(
+            urllib.request.urlopen(f"{base}/api/control_status", timeout=5).read()
+        )
+        for name, value in hot_params.items():
+            assert status[name] == value, name
+        assert status["enable_smoothing"] is False
 
         # start driving then e-stop via the API
         urllib.request.urlopen(
