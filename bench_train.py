@@ -49,13 +49,34 @@ def main():
     # the step then trains at BENCH_TRAIN_SRC, not the crop).
     # BENCH_TRAIN_NATIVE=1: no-aug control at native resolution (the
     # honest baseline for the 'original' chain's device cost).
-    device_aug_on = os.environ.get("BENCH_TRAIN_DEVICE_AUG", "") == "1"
+    # BENCH_TRAIN_DEVICE_AUG=2: the SPLIT two-program path
+    # (parallel.train.make_split_aug_train_step / train.py
+    # --device-aug-split): aug compiles alone, feeding the crop-fed step.
+    # Measured per-dispatch (two host dispatches per step — honest about
+    # the ~10 ms/dispatch sandbox relay cost, which a directly-attached
+    # host does not pay); also prints the aug/step device-time breakdown.
+    devaug_env = os.environ.get("BENCH_TRAIN_DEVICE_AUG", "")
+    device_aug_on = devaug_env in ("1", "2")
+    device_aug_split = devaug_env == "2"
     aug_chain = os.environ.get("BENCH_TRAIN_AUG_CHAIN", "psp")
     native_ctl = os.environ.get("BENCH_TRAIN_NATIVE", "") == "1"
     src_h, src_w = (
         int(x) for x in os.environ.get("BENCH_TRAIN_SRC", "1024x2048").split("x")
     )
     base_size = int(os.environ.get("BENCH_TRAIN_BASE", "1024"))
+
+    # BENCH_TRAIN_SIZE=HxW: non-square host-aug-fed train resolution (the
+    # BDD100K drivable recipe trains at 360×640, reference:
+    # train_bdd100k.py:124-148 — images resized, not square-cropped).
+    # Ignored when device-aug/native feeds BENCH_TRAIN_SRC instead.
+    size_env = os.environ.get("BENCH_TRAIN_SIZE", "")
+    train_h, train_w = (
+        (int(x) for x in size_env.split("x")) if size_env else (crop, crop)
+    )
+    train_h, train_w = int(train_h), int(train_w)
+    # BENCH_TRAIN_OPT=sgd (default) | adamw — the BDD100K trainer's
+    # optimizer (reference:train_bdd100k.py:183-185, lr 1e-3).
+    opt_name = os.environ.get("BENCH_TRAIN_OPT", "sgd")
 
     stem_impl = os.environ.get("BENCH_TRAIN_STEM", "xla")
     # BENCH_TRAIN_GRAD_ACCUM=N (N>1): bench the SHIPPED step
@@ -80,19 +101,68 @@ def main():
             from fastscnn_tpu.data.device_aug import make_device_augment
 
             aug = make_device_augment(base_size=base_size, crop_size=crop, pad_label=-1)
-    schedule = lr_schedule("poly", base_lr=1e-2, niters=10000, power=0.9)
-    optimizer = make_optimizer("sgd", schedule)
+    schedule = lr_schedule(
+        "poly", base_lr=1e-3 if opt_name == "adamw" else 1e-2,
+        niters=10000, power=0.9,
+    )
+    optimizer = make_optimizer(opt_name, schedule)
     loss_fn = get_loss_fn(loss_name, aux=True, num_classes=num_classes)
 
     best_sps, best_batch = 0.0, 0
     rng = np.random.default_rng(0)
     for batch in batches:
-        in_h, in_w = (src_h, src_w) if device_aug_on or native_ctl else (crop, crop)
+        in_h, in_w = (
+            (src_h, src_w) if device_aug_on or native_ctl else (train_h, train_w)
+        )
         images = jnp.asarray(rng.integers(0, 256, (batch, in_h, in_w, 3), dtype=np.uint8))
         targets = jnp.asarray(
             rng.integers(-1, num_classes, (batch, in_h, in_w)).astype(np.int32)
         )
         state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
+
+        if device_aug_split:
+            from fastscnn_tpu.parallel import make_split_aug_train_step
+
+            split_step = make_split_aug_train_step(
+                model, loss_fn, optimizer, aug, mean=None, std=None,
+                compute_dtype=jnp.bfloat16, grad_accum=grad_accum,
+                donate=False,
+            )
+            try:
+                state, m = split_step(state, images, targets, jax.random.PRNGKey(1))
+                _ = float(m["loss"])  # compile both programs + run once
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for i in range(iters):
+                        state, m = split_step(
+                            state, images, targets, jax.random.fold_in(jax.random.PRNGKey(1), i)
+                        )
+                    _ = float(m["loss"])
+                    times.append((time.perf_counter() - t0) / iters)
+                dt = sorted(times)[1]
+                # breakdown: aug program alone, then the crop-fed step alone
+                aug_jit = jax.jit(aug)
+                ai, at = aug_jit(images, targets, jax.random.PRNGKey(2))
+                ai.block_until_ready()
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    ai, at = aug_jit(images, targets, jax.random.fold_in(jax.random.PRNGKey(2), i))
+                ai.block_until_ready()
+                aug_ms = 1e3 * (time.perf_counter() - t0) / iters
+            except Exception as e:
+                print(f"batch {batch} (split) failed: {e}", file=sys.stderr)
+                continue
+            sps = batch / dt
+            print(
+                f"batch {batch} (split, per-dispatch): {sps:.1f} samples/s "
+                f"({dt * 1e3:.2f} ms/step, aug dispatch {aug_ms:.2f} ms incl. "
+                "~10 ms relay overhead each)",
+                file=sys.stderr,
+            )
+            if sps > best_sps:
+                best_sps, best_batch = sps, batch
+            continue
 
         if grad_accum > 1:
             from fastscnn_tpu.parallel import make_train_step
@@ -196,12 +266,13 @@ def main():
                     # source resolution, not the crop
                     f"{src_h}x{src_w}"
                     if (device_aug_on and aug_chain == "original") or native_ctl
-                    else f"{crop}x{crop}"
+                    else f"{train_h}x{train_w}"
                 ) + (
                     "_devaug" + ("_" + aug_chain if aug_chain != "psp" else "")
+                    + ("_split" if device_aug_split else "")
                     if device_aug_on
                     else ("_native" if native_ctl else "")
-                ),
+                ) + ("_" + opt_name if opt_name != "sgd" else ""),
                 "value": round(best_sps, 1),
                 "unit": "samples/sec/chip",
                 # The 232.9 samples/s reference baseline is the TuSimple
@@ -210,6 +281,8 @@ def main():
                 "vs_baseline": (
                     round(best_sps / 232.9, 2)
                     if (num_classes, loss_name, crop) == (2, "dice", 480)
+                    and not size_env
+                    and opt_name == "sgd"
                     and not native_ctl
                     and not (device_aug_on and aug_chain == "original")
                     else None

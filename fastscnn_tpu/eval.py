@@ -38,6 +38,10 @@ def parse_args(argv=None):
                         help="print per-class IoU (reference:utils/metric.py compute_score)")
     parser.add_argument("--dtype", type=str, default="float32",
                         help="compute dtype for parity (float32) or speed (bfloat16)")
+    parser.add_argument("--no-dump", action="store_true", default=False,
+                        help="skip the per-image colorized PNG dumps (the metric-only "
+                             "protocol; the reference always dumps, eval.py:44-60 — "
+                             "on a 1-core host the PNG encode dominates wall time)")
     return parser.parse_args(argv)
 
 
@@ -150,9 +154,10 @@ class Evaluator:
                 print(
                     f"sample {self._done}: pixAcc {pix_acc * 100:.3f}% mIoU {miou * 100:.3f}%"
                 )
-                get_color_pallete(pred, args.dataset).save(
-                    os.path.join(args.outdir, f"seg_{i}.png")
-                )
+                if not getattr(args, "no_dump", False):
+                    get_color_pallete(pred, args.dataset).save(
+                        os.path.join(args.outdir, f"seg_{i}.png")
+                    )
 
         # stream samples into per-shape accumulators (memory: O(bs × buckets))
         buckets: dict[tuple, list] = {}

@@ -4,6 +4,7 @@ from fastscnn_tpu.parallel.train import (
     TrainState,
     create_train_state,
     make_train_step,
+    make_split_aug_train_step,
     make_eval_step,
     make_optimizer,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_split_aug_train_step",
     "make_eval_step",
     "make_optimizer",
 ]

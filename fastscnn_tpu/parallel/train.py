@@ -42,6 +42,7 @@ __all__ = [
     "create_train_state",
     "make_optimizer",
     "make_train_step",
+    "make_split_aug_train_step",
     "make_eval_step",
 ]
 
@@ -261,6 +262,70 @@ def make_train_step(
     )
 
 
+def make_split_aug_train_step(
+    model: FastSCNN,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    device_aug: Callable,
+    mesh=None,
+    compute_dtype=jnp.bfloat16,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+    grad_accum: int = 1,
+    donate: bool = True,
+):
+    """Two-program variant of ``make_train_step(device_aug=...)``.
+
+    The aug chain compiles as its OWN jitted program whose output feeds
+    the standard crop-fed train step — two dispatches per step instead of
+    one. Exists because the fused native-resolution program can exceed
+    the compile-memory ceiling at large batch (the bs96 `--device-aug`
+    compile wall, docs/PERFORMANCE.md "CE-19 sweep"): each half is the
+    size of a program that already compiles (the aug alone; the bs96
+    crop-fed step). Costs one extra HBM round-trip of the augmented
+    batch (~2 ms at bs96×768²f32 on v5e) plus a dispatch.
+
+    Semantics: identical per-sample draws to the fused path at
+    ``grad_accum=1`` (same ``fold_in(rng, 0x617567)`` aug key). With
+    ``grad_accum>1`` the fused path re-draws per microbatch
+    (``fold_in(aug_key, i)``) while this path draws once for the whole
+    batch — same distribution, different stream.
+
+    ``donate``: donate the native-resolution input buffers to the aug
+    program (each training batch is fresh host data; donation frees the
+    largest buffer in the pipeline). Pass False if the caller reuses the
+    arrays (benchmarks).
+    """
+    if mesh is not None and mesh.shape.get("space", 1) > 1:
+        raise ValueError("device_aug is incompatible with spatial sharding")
+
+    def aug_of(images, targets, aug_key):
+        return device_aug(images, targets, aug_key)
+
+    if mesh is None:
+        aug_jit = jax.jit(aug_of, donate_argnums=(0, 1) if donate else ())
+    else:
+        data_spec = NamedSharding(mesh, P("data", None, None, None))
+        tgt_sharding = NamedSharding(mesh, P("data", None, None))
+        aug_jit = jax.jit(
+            aug_of,
+            donate_argnums=(0, 1) if donate else (),
+            in_shardings=(data_spec, tgt_sharding, NamedSharding(mesh, P())),
+            out_shardings=(data_spec, tgt_sharding),
+        )
+    step = make_train_step(
+        model, loss_fn, optimizer, mesh=mesh, compute_dtype=compute_dtype,
+        mean=mean, std=std, grad_accum=grad_accum,
+    )
+
+    def split_step(state, images, targets, rng):
+        aug_key = jax.random.fold_in(rng, 0x617567)
+        imgs, tgts = aug_jit(images, targets, aug_key)
+        return step(state, imgs, tgts, rng)
+
+    return split_step
+
+
 def make_eval_step(
     model: FastSCNN,
     num_classes: int,
@@ -268,11 +333,14 @@ def make_eval_step(
     compute_dtype=jnp.bfloat16,
     mean=IMAGENET_MEAN,
     std=IMAGENET_STD,
+    jit: bool = True,
 ):
     """Jitted eval step: forward (eval-mode BN) → argmax → metric
     sufficient statistics (the device-histogram port of
     reference:utils/metric.py:86-105; the sums double as the psum over
-    the mesh)."""
+    the mesh). ``jit=False`` returns the raw traceable step (single-device
+    only) for callers that embed it in a larger jitted program
+    (bench_eval's on-device fori_loop)."""
 
     def step(params, model_state, images, targets):
         x = _normalize(images, mean, std, compute_dtype)
@@ -292,6 +360,10 @@ def make_eval_step(
         correct, labeled, inter, union = seg_hist_update(pred, targets, num_classes)
         return pred, (correct, labeled, inter, union)
 
+    if not jit:
+        if mesh is not None:
+            raise ValueError("jit=False is single-device only")
+        return step
     if mesh is None:
         return jax.jit(step)
     repl = NamedSharding(mesh, P())

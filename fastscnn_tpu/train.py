@@ -82,6 +82,12 @@ def parse_args(argv=None):
                              "decodes (or memcpys from --decoded-cache) native-"
                              "resolution images; supported for citys/tusimple/"
                              "bdd100k standard train transform")
+    parser.add_argument("--device-aug-split", action="store_true", default=False,
+                        help="with --device-aug: compile the aug chain as its OWN "
+                             "jitted program feeding the crop-fed train step (two "
+                             "dispatches, donated native-res buffers) — sidesteps "
+                             "the fused program's large-batch compile-memory wall "
+                             "(docs/PERFORMANCE.md, bs96 `--device-aug`)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--stem-impl", type=str, default="xla",
                         choices=["xla", "tapbwd", "taps", "taps-packbn", "pallas"],
@@ -309,11 +315,20 @@ class Trainer:
                     pad_label=self.train_ds.DEVICE_AUG_PAD_LABEL,
                     compute_dtype=compute_dtype,
                 )
-        self.train_step = make_train_step(
-            self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std,
-            compute_dtype=compute_dtype, grad_accum=args.grad_accum,
-            device_aug=device_aug,
-        )
+        if device_aug is not None and getattr(args, "device_aug_split", False):
+            from fastscnn_tpu.parallel import make_split_aug_train_step
+
+            self.train_step = make_split_aug_train_step(
+                self.model, loss_fn, optimizer, device_aug, mesh=self.mesh,
+                mean=mean, std=std, compute_dtype=compute_dtype,
+                grad_accum=args.grad_accum,
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model, loss_fn, optimizer, mesh=self.mesh, mean=mean, std=std,
+                compute_dtype=compute_dtype, grad_accum=args.grad_accum,
+                device_aug=device_aug,
+            )
         self.eval_step = make_eval_step(
             self.model, self.num_classes, mesh=None, mean=mean, std=std,
             compute_dtype=compute_dtype,

@@ -256,6 +256,89 @@ def test_train_step_with_device_aug_dp_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+def test_split_aug_train_step_matches_fused():
+    """The two-program split path (make_split_aug_train_step — the
+    compile-wall workaround, docs/PERFORMANCE.md bs96 `--device-aug`)
+    must match the fused device_aug step at grad_accum=1: same rng →
+    same per-sample draws → same loss and updated params. Also checked
+    under the dp mesh (the sharded aug program)."""
+    from fastscnn_tpu.losses import get_loss_fn
+    from fastscnn_tpu.models import FastSCNN
+    from fastscnn_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_optimizer,
+        make_split_aug_train_step,
+        make_train_step,
+    )
+    from fastscnn_tpu.utils import lr_schedule
+
+    model = FastSCNN(num_classes=2, aux=True)
+    optimizer = make_optimizer(
+        "sgd", lr_schedule("poly", base_lr=1e-2, niters=50, power=0.9)
+    )
+    aug = make_device_augment(
+        base_size=BASE, crop_size=CROP, pad_label=0, compute_dtype=jnp.float32
+    )
+    loss_fn = get_loss_fn("dice", aux=True)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.integers(0, 256, (8, H, W, 3)).astype(np.uint8))
+    masks = jnp.asarray(rng.integers(0, 2, (8, H, W)).astype(np.int32))
+
+    results = []
+    for mesh in (None, make_mesh(n_data=8)):
+        fused = make_train_step(
+            model, loss_fn, optimizer, mesh=mesh, device_aug=aug,
+            compute_dtype=jnp.float32,
+        )
+        split = make_split_aug_train_step(
+            model, loss_fn, optimizer, aug, mesh=mesh,
+            compute_dtype=jnp.float32, donate=False,
+        )
+        s_f = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
+        s_s = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
+        s_f, m_f = fused(s_f, images, masks, jax.random.PRNGKey(3))
+        s_s, m_s = split(s_s, images, masks, jax.random.PRNGKey(3))
+        np.testing.assert_allclose(
+            float(m_s["loss"]), float(m_f["loss"]), rtol=1e-6, atol=1e-7
+        )
+        assert (jax.tree_util.tree_structure(s_s.params)
+                == jax.tree_util.tree_structure(s_f.params))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_s.params),
+            jax.tree_util.tree_leaves(s_f.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+            )
+        results.append(float(m_s["loss"]))
+    # and the mesh run equals the single-device run
+    assert abs(results[0] - results[1]) < 1e-5
+
+
+def test_split_aug_rejects_spatial_shard():
+    from fastscnn_tpu.losses import get_loss_fn
+    from fastscnn_tpu.models import FastSCNN
+    from fastscnn_tpu.parallel import (
+        make_mesh,
+        make_optimizer,
+        make_split_aug_train_step,
+    )
+    from fastscnn_tpu.utils import lr_schedule
+
+    model = FastSCNN(num_classes=2)
+    optimizer = make_optimizer(
+        "sgd", lr_schedule("poly", base_lr=1e-2, niters=10, power=0.9)
+    )
+    aug = make_device_augment(base_size=BASE, crop_size=CROP, pad_label=0)
+    with pytest.raises(ValueError, match="spatial"):
+        make_split_aug_train_step(
+            model, get_loss_fn("dice"), optimizer, aug,
+            mesh=make_mesh(n_data=4, n_space=2),
+        )
+
+
 def test_device_aug_rejects_spatial_shard():
     from fastscnn_tpu.losses import get_loss_fn
     from fastscnn_tpu.models import FastSCNN
