@@ -152,6 +152,13 @@ def main():
                 aug_ms = 1e3 * (time.perf_counter() - t0) / iters
             except Exception as e:
                 print(f"batch {batch} (split) failed: {e}", file=sys.stderr)
+                # free this batch's device arrays + compiled programs so
+                # an OOM here cannot cascade into the next batch size
+                import gc
+
+                del state, images, targets
+                gc.collect()
+                jax.clear_caches()
                 continue
             sps = batch / dt
             print(

@@ -108,8 +108,14 @@ def make_train_step(
     grad_accum: int = 1,
     device_aug=None,
     jit: bool = True,
+    donate_batch: bool = False,
 ):
     """Build the jitted sharded train step.
+
+    ``donate_batch``: additionally donate the images/targets buffers to
+    the program — correct only when the caller never reuses them (the
+    split device-aug path hands freshly-augmented arrays in; freeing
+    them during the step lowers peak HBM by the batch size).
 
     step(state, images_u8, targets_i32, rng) -> (state, {'loss': f32})
 
@@ -245,13 +251,14 @@ def make_train_step(
             raise ValueError("jit=False is single-device only")
         return step
 
+    donate = (0, 1, 2) if donate_batch else (0,)
     if mesh is None:
-        return jax.jit(step, donate_argnums=0)
+        return jax.jit(step, donate_argnums=donate)
 
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
-        donate_argnums=0,
+        donate_argnums=donate,
         in_shardings=(
             repl,
             NamedSharding(mesh, P(*img_spec)),
@@ -313,9 +320,12 @@ def make_split_aug_train_step(
             in_shardings=(data_spec, tgt_sharding, NamedSharding(mesh, P())),
             out_shardings=(data_spec, tgt_sharding),
         )
+    # The inner step donates the augmented images/targets (freshly made
+    # by aug_jit each step, never reused): freeing them during the step
+    # lowers peak HBM — the binding resource at the bs96 wall.
     step = make_train_step(
         model, loss_fn, optimizer, mesh=mesh, compute_dtype=compute_dtype,
-        mean=mean, std=std, grad_accum=grad_accum,
+        mean=mean, std=std, grad_accum=grad_accum, donate_batch=True,
     )
 
     def split_step(state, images, targets, rng):
