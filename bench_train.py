@@ -115,8 +115,12 @@ def main():
             (src_h, src_w) if device_aug_on or native_ctl else (train_h, train_w)
         )
         images = jnp.asarray(rng.integers(0, 256, (batch, in_h, in_w, 3), dtype=np.uint8))
+        # Device-aug feeds NATIVE-res label maps: int8 (lossless for
+        # ≤127 classes) like the trainer — quarters the largest batch
+        # buffer, the binding HBM at the bs96 device-aug wall.
+        tgt_dtype = np.int8 if device_aug_on and num_classes <= 127 else np.int32
         targets = jnp.asarray(
-            rng.integers(-1, num_classes, (batch, in_h, in_w)).astype(np.int32)
+            rng.integers(-1, num_classes, (batch, in_h, in_w)).astype(tgt_dtype)
         )
         state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
 

@@ -365,9 +365,23 @@ class Trainer:
             t_epoch = time.time()
             t_data = 0.0
             t_last = time.time()
+            # Device-aug paths ship NATIVE-resolution label maps; int8
+            # is lossless for every supported dataset (labels in
+            # [-1, 18]) and quarters both the host→device transfer and
+            # the on-device residency of the largest batch buffer — the
+            # binding resource at the bs96 device-aug HBM wall
+            # (docs/PERFORMANCE.md "device-aug compile wall, attacked").
+            # The aug emits int32 crops, so the loss sees i32 either way.
+            tgt_dtype = (
+                np.int8
+                if getattr(args, "device_aug", False) and self.num_classes <= 127
+                else None
+            )
             for it, (images, targets) in enumerate(self.train_loader):
                 t_data += time.time() - t_last
                 self._rng_key, step_key = jax.random.split(self._rng_key)
+                if tgt_dtype is not None:
+                    targets = np.asarray(targets).astype(tgt_dtype)
                 self.state, metrics = self.train_step(
                     self.state, jnp.asarray(images), jnp.asarray(targets), step_key
                 )
