@@ -96,12 +96,17 @@ class Evaluator:
         )
         import jax.numpy as jnp
 
+        # per_sample_stats: the metric's sufficient statistics come out of
+        # the same device program as the prediction, per image — the
+        # per-image host recomputation they replace measured 431 ms/image
+        # through this sandbox's relay (docs/PERFORMANCE.md "Eval surface")
         self.eval_step = make_eval_step(
             self.model,
             self.num_classes,
             compute_dtype=jnp.dtype(args.dtype),
             mean=mean,
             std=std,
+            per_sample_stats=True,
         )
         self.metric = SegmentationMetric(self.num_classes)
 
@@ -142,13 +147,20 @@ class Evaluator:
             for row, (i, padded, mask, h, w) in enumerate(chunk):
                 batch_imgs[row] = padded
                 batch_tgts[row, :h, :w] = mask
-            preds, _ = self.eval_step(
+            preds, stats = self.eval_step(
                 self.params, self.model_state, jnp.asarray(batch_imgs), jnp.asarray(batch_tgts)
             )
             preds = np.asarray(preds)
+            # (B,)-leading stats from the device program; pad rows beyond
+            # the chunk carry all-ignore targets → zero contribution, and
+            # are not read anyway. Identical integer math to the host
+            # metric.update (the pad region is masked by target = -1).
+            correct, labeled, inter, union = (np.asarray(s) for s in stats)
             for row, (i, _, mask, h, w) in enumerate(chunk):
                 pred = preds[row, :h, :w]
-                self.metric.update(pred, np.asarray(mask))
+                self.metric.update_stats(
+                    correct[row], labeled[row], inter[row], union[row]
+                )
                 self._done += 1
                 pix_acc, miou = self.metric.get()
                 print(

@@ -344,13 +344,16 @@ def make_eval_step(
     mean=IMAGENET_MEAN,
     std=IMAGENET_STD,
     jit: bool = True,
+    per_sample_stats: bool = False,
 ):
     """Jitted eval step: forward (eval-mode BN) → argmax → metric
     sufficient statistics (the device-histogram port of
     reference:utils/metric.py:86-105; the sums double as the psum over
     the mesh). ``jit=False`` returns the raw traceable step (single-device
     only) for callers that embed it in a larger jitted program
-    (bench_eval's on-device fori_loop)."""
+    (bench_eval's on-device fori_loop). ``per_sample_stats``: emit
+    (B,)-leading statistics so the eval protocol's per-image cumulative
+    metric needs no host-side recomputation."""
 
     def step(params, model_state, images, targets):
         x = _normalize(images, mean, std, compute_dtype)
@@ -367,7 +370,9 @@ def make_eval_step(
                 logits, (x.shape[1], x.shape[2]), align_corners=True
             )
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        correct, labeled, inter, union = seg_hist_update(pred, targets, num_classes)
+        correct, labeled, inter, union = seg_hist_update(
+            pred, targets, num_classes, per_sample=per_sample_stats
+        )
         return pred, (correct, labeled, inter, union)
 
     if not jit:

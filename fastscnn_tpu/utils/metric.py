@@ -18,27 +18,34 @@ import jax.numpy as jnp
 __all__ = ["seg_hist_update", "seg_scores_from_hist", "SegmentationMetric"]
 
 
-def seg_hist_update(pred: jnp.ndarray, target: jnp.ndarray, nclass: int):
+def seg_hist_update(pred: jnp.ndarray, target: jnp.ndarray, nclass: int,
+                    per_sample: bool = False):
     """Per-batch sufficient statistics.
 
     Args:
       pred:   (..., ) int predicted class ids in [0, nclass).
       target: (..., ) int labels; negative = ignore.
+      per_sample: reduce over all axes EXCEPT the leading batch axis —
+        (B,), (B,), (B, C), (B, C) instead of scalars + (C,). The eval
+        protocol uses this so per-image cumulative metrics come out of
+        the SAME device program as the prediction (previously eval.py
+        re-ran the histogram per image on the host: 431 ms/image through
+        this sandbox's relay — docs/PERFORMANCE.md "Eval surface").
     Returns:
-      (correct, labeled, inter, union): scalars + (nclass,) arrays, all
-      int32 on-device. Pure & shape-static → safe inside jit, and the
-      outputs can be ``lax.psum``-ed over a mesh axis.
+      (correct, labeled, inter, union): int32 on-device. Pure &
+      shape-static → safe inside jit, and the outputs can be
+      ``lax.psum``-ed over a mesh axis.
     """
     pred = pred.astype(jnp.int32)
     target = target.astype(jnp.int32)
     valid = target >= 0
-    correct = jnp.sum((pred == target) & valid)
-    labeled = jnp.sum(valid)
+    axes = tuple(range(pred.ndim))[1:] if per_sample else tuple(range(pred.ndim))
+    correct = jnp.sum((pred == target) & valid, axis=axes)
+    labeled = jnp.sum(valid, axis=axes)
 
     tc = jnp.where(valid, target, 0)
     onehot_t = jax.nn.one_hot(tc, nclass, dtype=jnp.int32) * valid[..., None].astype(jnp.int32)
     onehot_p = jax.nn.one_hot(pred, nclass, dtype=jnp.int32) * valid[..., None].astype(jnp.int32)
-    axes = tuple(range(pred.ndim))
     area_lab = jnp.sum(onehot_t, axis=axes)
     area_pred = jnp.sum(onehot_p, axis=axes)
     inter = jnp.sum(onehot_t * onehot_p, axis=axes)
@@ -81,6 +88,15 @@ class SegmentationMetric:
         correct, labeled, inter, union = seg_hist_update(
             jnp.asarray(preds), jnp.asarray(labels), self.nclass
         )
+        self.total_correct += int(correct)
+        self.total_label += int(labeled)
+        self.total_inter += np.asarray(inter, np.int64)
+        self.total_union += np.asarray(union, np.int64)
+
+    def update_stats(self, correct, labeled, inter, union):
+        """Accumulate device-computed sufficient statistics directly
+        (one sample's row of a per_sample ``seg_hist_update``) — no
+        recomputation, no device dispatch."""
         self.total_correct += int(correct)
         self.total_label += int(labeled)
         self.total_inter += np.asarray(inter, np.int64)

@@ -69,7 +69,8 @@ def _make_evaluator(tmp_path, batch_size=1, pad_multiple=64):
     ev.model = FastSCNN(num_classes=2, aux=False)
     ev.params, ev.model_state = init_fast_scnn(jax.random.PRNGKey(0), 2, False)
     ev.eval_step = make_eval_step(
-        ev.model, 2, compute_dtype=jnp.float32, mean=None, std=None
+        ev.model, 2, compute_dtype=jnp.float32, mean=None, std=None,
+        per_sample_stats=True,
     )
     ev.metric = SegmentationMetric(2)
     return ev

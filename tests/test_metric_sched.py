@@ -70,6 +70,36 @@ def test_metric_streaming_equals_oneshot(rng):
     assert m1.get() == m2.get()
 
 
+def test_per_sample_stats_equal_batch_and_host(rng):
+    """seg_hist_update(per_sample=True) must (1) sum to the whole-batch
+    statistics and (2) per row, exactly equal the host metric path it
+    replaces in the eval protocol (update_stats vs update) — including
+    ignore labels and rows that are ALL ignore (the evaluator's pad
+    rows)."""
+    import jax.numpy as jnp
+
+    from fastscnn_tpu.utils.metric import seg_hist_update
+
+    nclass = 5
+    pred = rng.integers(0, nclass, size=(6, 16, 16))
+    target = rng.integers(-1, nclass, size=(6, 16, 16))
+    target[5] = -1  # an all-ignore pad row
+    ps = seg_hist_update(jnp.asarray(pred), jnp.asarray(target), nclass, per_sample=True)
+    whole = seg_hist_update(jnp.asarray(pred), jnp.asarray(target), nclass)
+    for p, w in zip(ps, whole):
+        np.testing.assert_array_equal(np.asarray(p).sum(axis=0), np.asarray(w))
+    correct, labeled, inter, union = (np.asarray(s) for s in ps)
+    m_host = SegmentationMetric(nclass)
+    m_dev = SegmentationMetric(nclass)
+    for i in range(6):
+        m_host.update(pred[i], target[i])
+        m_dev.update_stats(correct[i], labeled[i], inter[i], union[i])
+    assert m_host.get() == m_dev.get()
+    np.testing.assert_array_equal(m_host.total_inter, m_dev.total_inter)
+    np.testing.assert_array_equal(m_host.total_union, m_dev.total_union)
+    assert correct[5] == 0 and labeled[5] == 0  # pad row contributes nothing
+
+
 def test_training_monitor_fresh_vs_resume(tmp_path):
     """A fresh run ignores an existing log; resume=True continues it
     (reference starts a fresh timestamped log per run)."""
