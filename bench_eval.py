@@ -73,7 +73,8 @@ def _gen_val_tree(root: str, sizes_counts, seed=0):
     return root
 
 
-def _run_protocol(root, outdir, batch_size, dtype, no_dump, max_images=None):
+def _run_protocol(root, outdir, batch_size, dtype, no_dump, max_images=None,
+                  extra_argv=None):
     """One full Evaluator.eval() pass; returns (seconds, n_images)."""
     import contextlib
     import io
@@ -87,6 +88,7 @@ def _run_protocol(root, outdir, batch_size, dtype, no_dump, max_images=None):
     ]
     if no_dump:
         argv.append("--no-dump")
+    argv += extra_argv or []
     if max_images:
         argv += ["--max-images", str(max_images)]
     args = parse_args(argv)
@@ -222,6 +224,25 @@ def main(argv=None):
         }
         print(f"mixed-res: {len(sizes)} buckets, cold {t_cold:.1f}s steady "
               f"{t_warm:.1f}s, padding waste {100.0 * waste_num / waste_den:.1f}%")
+
+    # ---- decoded-cache leg (LAST: set_cache_dir is process-global, so
+    # every protocol run after this point would be cache-accelerated) ----
+    # the protocol is host-decode-bound; --decoded-cache turns the
+    # per-image PNG inflate into an npy memcpy. First pass warms the
+    # cache, second is the warm-cache steady state.
+    cache_dir = os.path.join(work, "decoded_cache")
+    outdir = os.path.join(work, "out_cache")
+    extra = ["--decoded-cache", cache_dir]
+    t_warmup, n = _run_protocol(uni_root, outdir, 8, "bfloat16", True, extra_argv=extra)
+    t_cached, _ = _run_protocol(uni_root, outdir, 8, "bfloat16", True, extra_argv=extra)
+    results["tpu_native_bs8_bf16_nodump_decoded_cache"] = {
+        "images": n,
+        "cache_warmup_s": round(t_warmup, 2),
+        "steady_s": round(t_cached, 2),
+        "images_per_s": round(n / t_cached, 3),
+    }
+    print(f"decoded-cache leg: warmup {t_warmup:.1f}s warm {t_cached:.1f}s "
+          f"→ {n / t_cached:.2f} images/s")
 
     headline = results.get("tpu_native_bs8_bf16_nodump", {}).get("images_per_s")
     line = {

@@ -42,6 +42,11 @@ def parse_args(argv=None):
                         help="skip the per-image colorized PNG dumps (the metric-only "
                              "protocol; the reference always dumps, eval.py:44-60 — "
                              "on a 1-core host the PNG encode dominates wall time)")
+    parser.add_argument("--decoded-cache", type=str, default=None,
+                        help="decode-once image cache directory (data/decoded_cache.py) — "
+                             "the measured eval protocol is host-decode-bound "
+                             "(docs/PERFORMANCE.md 'Eval surface measured'); a warm "
+                             "cache turns the per-image decode into a memcpy")
     return parser.parse_args(argv)
 
 
@@ -65,6 +70,10 @@ class Evaluator:
         from fastscnn_tpu.utils.metric import SegmentationMetric
 
         self.args = args
+        if getattr(args, "decoded_cache", None):
+            from fastscnn_tpu.data import decoded_cache
+
+            decoded_cache.set_cache_dir(args.decoded_cache)
         root = args.data_root or _DEFAULT_ROOTS[args.dataset]
         self.dataset = get_segmentation_dataset(
             args.dataset,
