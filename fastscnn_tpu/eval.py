@@ -109,6 +109,9 @@ class Evaluator:
         # the same device program as the prediction, per image — the
         # per-image host recomputation they replace measured 431 ms/image
         # through this sandbox's relay (docs/PERFORMANCE.md "Eval surface")
+        # uint8 masks back (≤255 classes always holds here): the
+        # device→host mask transfer is the eval protocol's largest wire
+        # cost on a tunneled device (8 MB → 2 MB per 1024×2048 image)
         self.eval_step = make_eval_step(
             self.model,
             self.num_classes,
@@ -116,6 +119,7 @@ class Evaluator:
             mean=mean,
             std=std,
             per_sample_stats=True,
+            pred_dtype=jnp.uint8 if self.num_classes <= 255 else jnp.int32,
         )
         self.metric = SegmentationMetric(self.num_classes)
 
@@ -151,8 +155,12 @@ class Evaluator:
             """Run one padded batch and update metrics/dumps."""
             chunk = pending[:bs]
             del pending[: len(chunk)]
+            # int8 targets up the wire (labels in [-1, 18] for every
+            # supported dataset): 4× less upload; the device histogram
+            # casts to i32 internally, so metrics are bit-identical
+            tgt_dtype = np.int8 if self.num_classes <= 127 else np.int32
             batch_imgs = np.zeros((bs, *shape), np.uint8)
-            batch_tgts = np.full((bs, *shape[:2]), -1, np.int32)
+            batch_tgts = np.full((bs, *shape[:2]), -1, tgt_dtype)
             for row, (i, padded, mask, h, w) in enumerate(chunk):
                 batch_imgs[row] = padded
                 batch_tgts[row, :h, :w] = mask

@@ -345,6 +345,7 @@ def make_eval_step(
     std=IMAGENET_STD,
     jit: bool = True,
     per_sample_stats: bool = False,
+    pred_dtype=jnp.int32,
 ):
     """Jitted eval step: forward (eval-mode BN) → argmax → metric
     sufficient statistics (the device-histogram port of
@@ -353,7 +354,11 @@ def make_eval_step(
     only) for callers that embed it in a larger jitted program
     (bench_eval's on-device fori_loop). ``per_sample_stats``: emit
     (B,)-leading statistics so the eval protocol's per-image cumulative
-    metric needs no host-side recomputation."""
+    metric needs no host-side recomputation. ``pred_dtype``: dtype of
+    the returned mask — uint8 is lossless for ≤255 classes and quarters
+    the device→host transfer (the dominant eval-protocol cost on a
+    tunneled device; the histogram is computed on device before the
+    cast, so metrics are unaffected)."""
 
     def step(params, model_state, images, targets):
         x = _normalize(images, mean, std, compute_dtype)
@@ -373,7 +378,7 @@ def make_eval_step(
         correct, labeled, inter, union = seg_hist_update(
             pred, targets, num_classes, per_sample=per_sample_stats
         )
-        return pred, (correct, labeled, inter, union)
+        return pred.astype(pred_dtype), (correct, labeled, inter, union)
 
     if not jit:
         if mesh is not None:
