@@ -85,6 +85,28 @@ class SegmentationMetric:
             for p, l in zip(preds, labels):
                 self.update(p, l)
             return
+        if isinstance(preds, np.ndarray) and isinstance(labels, np.ndarray):
+            # Host inputs take a pure-numpy path with identical integer
+            # math: dispatching host arrays through jnp costs a device
+            # round-trip per call (~0.4-0.6 s per 1024×2048 image on a
+            # tunneled device — docs/PERFORMANCE.md "Eval surface").
+            # Device-resident arrays keep the device path below.
+            n = self.nclass
+            p = preds.astype(np.int64, copy=False).ravel()
+            l = labels.astype(np.int64, copy=False).ravel()
+            valid = l >= 0
+            self.total_correct += int(((p == l) & valid).sum())
+            self.total_label += int(valid.sum())
+            pv, lv = p[valid], l[valid]
+            # one_hot(nclass) drops ids >= nclass on the device path;
+            # match it exactly
+            area_p = np.bincount(pv[pv < n], minlength=n)[:n]
+            area_l = np.bincount(lv[lv < n], minlength=n)[:n]
+            agree = lv[(pv == lv) & (lv < n)]
+            inter = np.bincount(agree, minlength=n)[:n]
+            self.total_inter += inter
+            self.total_union += area_p + area_l - inter
+            return
         correct, labeled, inter, union = seg_hist_update(
             jnp.asarray(preds), jnp.asarray(labels), self.nclass
         )

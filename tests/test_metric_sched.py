@@ -70,6 +70,26 @@ def test_metric_streaming_equals_oneshot(rng):
     assert m1.get() == m2.get()
 
 
+def test_numpy_fast_path_equals_device_path(rng):
+    """SegmentationMetric.update's host-numpy fast path must produce
+    bit-identical accumulators to the jnp device path — including ignore
+    labels, out-of-range predicted ids (dropped by one_hot on device),
+    and multi-dim inputs."""
+    import jax.numpy as jnp
+
+    nclass = 5
+    pred = rng.integers(0, nclass + 2, size=(4, 9, 13))  # some ids >= nclass
+    target = rng.integers(-2, nclass, size=(4, 9, 13))
+    m_np = SegmentationMetric(nclass)
+    m_np.update(pred, target)  # numpy inputs → host path
+    m_dev = SegmentationMetric(nclass)
+    m_dev.update(jnp.asarray(pred), jnp.asarray(target))  # device path
+    assert m_np.total_correct == m_dev.total_correct
+    assert m_np.total_label == m_dev.total_label
+    np.testing.assert_array_equal(m_np.total_inter, m_dev.total_inter)
+    np.testing.assert_array_equal(m_np.total_union, m_dev.total_union)
+
+
 def test_per_sample_stats_equal_batch_and_host(rng):
     """seg_hist_update(per_sample=True) must (1) sum to the whole-batch
     statistics and (2) per row, exactly equal the host metric path it
