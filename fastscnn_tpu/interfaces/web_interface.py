@@ -58,13 +58,18 @@ _DASHBOARD_HTML = """<!DOCTYPE html>
 const NUM_PARAMS = ['steering_gain','base_pwm','preview_distance',
                     'curvature_damping','min_pwm','max_pwm','ema_alpha'];
 async function api(name) { await fetch('/api/' + name, {method: 'POST'}); }
+let statusLoaded = false;
 async function updateParams() {
   const body = {};
   for (const k of NUM_PARAMS) {
     const v = document.getElementById(k).value;
     if (v) body[k] = parseFloat(v);
   }
-  body.enable_smoothing = document.getElementById('enable_smoothing').checked;
+  // Only send the toggle once the checkbox reflects real server state:
+  // before loadControlStatus resolves (or if it failed) an unchecked
+  // default would silently disable smoothing on any numeric tweak.
+  if (statusLoaded)
+    body.enable_smoothing = document.getElementById('enable_smoothing').checked;
   await fetch('/api/update_params', {method: 'POST', body: JSON.stringify(body)});
 }
 async function loadControlStatus() {
@@ -74,6 +79,7 @@ async function loadControlStatus() {
     if (!el.value && s[k] != null) el.value = s[k];
   }
   document.getElementById('enable_smoothing').checked = !!s.enable_smoothing;
+  statusLoaded = true;
 }
 loadControlStatus();
 setInterval(async () => {

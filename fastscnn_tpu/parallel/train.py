@@ -306,8 +306,11 @@ def make_split_aug_train_step(
     if mesh is not None and mesh.shape.get("space", 1) > 1:
         raise ValueError("device_aug is incompatible with spatial sharding")
 
-    def aug_of(images, targets, aug_key):
-        return device_aug(images, targets, aug_key)
+    def aug_of(images, targets, rng):
+        # aug-key derivation inside the jitted program: doing the
+        # fold_in eagerly would be a third device dispatch per step
+        # (~10 ms on a tunneled device)
+        return device_aug(images, targets, jax.random.fold_in(rng, 0x617567))
 
     if mesh is None:
         aug_jit = jax.jit(aug_of, donate_argnums=(0, 1) if donate else ())
@@ -329,8 +332,7 @@ def make_split_aug_train_step(
     )
 
     def split_step(state, images, targets, rng):
-        aug_key = jax.random.fold_in(rng, 0x617567)
-        imgs, tgts = aug_jit(images, targets, aug_key)
+        imgs, tgts = aug_jit(images, targets, rng)
         return step(state, imgs, tgts, rng)
 
     return split_step

@@ -184,19 +184,24 @@ def train_model(
 
 
 def confusion_scores(pred: np.ndarray, gt: np.ndarray, num_classes: int):
-    """pixAcc + mIoU over valid (gt >= 0) pixels, numpy confusion."""
-    valid = gt >= 0
-    p, g = pred[valid].astype(np.int64), gt[valid].astype(np.int64)
-    cm = np.bincount(g * num_classes + p, minlength=num_classes**2).reshape(
-        num_classes, num_classes
-    )
-    tp = np.diag(cm).astype(np.float64)
-    union = cm.sum(0) + cm.sum(1) - np.diag(cm)
-    present = cm.sum(1) > 0  # classes present in GT (reference metric style)
-    iou = np.where(union > 0, tp / np.maximum(union, 1), 0.0)
+    """pixAcc + mIoU with the repo's CANONICAL metric definition
+    (utils/metric.py seg_scores_from_hist — IoU averaged over ALL
+    classes, matching eval.py's FINAL mIoU so study numbers are directly
+    comparable to the evaluator's), plus the present-classes-only
+    average as a secondary reading."""
+    from fastscnn_tpu.utils.metric import SegmentationMetric
+
+    m = SegmentationMetric(num_classes)
+    m.update(np.asarray(pred), np.asarray(gt))
+    pix_acc, miou = m.get()
+    iou = m.per_class_iou()
+    gt_valid = np.asarray(gt)[np.asarray(gt) >= 0]
+    present = np.zeros(num_classes, bool)
+    present[np.unique(gt_valid.astype(np.int64))] = True
     return {
-        "pixAcc": float(tp.sum() / max(cm.sum(), 1)),
-        "mIoU": float(iou[present].mean()) if present.any() else float("nan"),
+        "pixAcc": float(pix_acc),
+        "mIoU": float(miou),
+        "mIoU_present": float(iou[present].mean()) if present.any() else float("nan"),
     }
 
 

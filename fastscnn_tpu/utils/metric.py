@@ -98,9 +98,9 @@ class SegmentationMetric:
             self.total_correct += int(((p == l) & valid).sum())
             self.total_label += int(valid.sum())
             pv, lv = p[valid], l[valid]
-            # one_hot(nclass) drops ids >= nclass on the device path;
-            # match it exactly
-            area_p = np.bincount(pv[pv < n], minlength=n)[:n]
+            # one_hot drops ids outside [0, nclass) on the device path
+            # (including negatives); match it exactly
+            area_p = np.bincount(pv[(pv >= 0) & (pv < n)], minlength=n)[:n]
             area_l = np.bincount(lv[lv < n], minlength=n)[:n]
             agree = lv[(pv == lv) & (lv < n)]
             inter = np.bincount(agree, minlength=n)[:n]

@@ -78,7 +78,9 @@ def test_numpy_fast_path_equals_device_path(rng):
     import jax.numpy as jnp
 
     nclass = 5
-    pred = rng.integers(0, nclass + 2, size=(4, 9, 13))  # some ids >= nclass
+    # some ids >= nclass AND negative ids (a -1 ignore-fill in a
+    # prediction mask must not crash the bincount path)
+    pred = rng.integers(-1, nclass + 2, size=(4, 9, 13))
     target = rng.integers(-2, nclass, size=(4, 9, 13))
     m_np = SegmentationMetric(nclass)
     m_np.update(pred, target)  # numpy inputs → host path

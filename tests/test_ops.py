@@ -208,11 +208,12 @@ def test_engine_argmax_first_mode_trained():
     study (1024×2048/19-class + 360×640/2-class trained models, incl.
     the reference's own argmax-then-NEAREST deploy postprocess) is
     docs/argmax_first_study_r5.json / docs/PERFORMANCE.md."""
+    import os
     import sys
 
     import jax
 
-    sys.path.insert(0, "tests/fixtures")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures"))
     from gen_mini_lane import load
 
     from fastscnn_tpu.engine import E2EConfig, InferenceEngine
