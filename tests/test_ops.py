@@ -247,7 +247,7 @@ def test_engine_argmax_first_mode_trained():
     # Scale-aware bound: the 8-px quantization grid spans 1/8 of this
     # 64×96 fixture's height, ~11× coarser relative to the image than at
     # the production resolutions, where the measured cost is ≤0.02 mIoU
-    # (1024×2048/19c: −0.000; 360×640/2c: −0.019 —
+    # (1024×2048/19c: +0.008; 360×640/2c: −0.019 —
     # docs/argmax_first_study_r5.json). Measured here: ~0.11.
     assert s_fast["mIoU"] > s_exact["mIoU"] - 0.15, (s_fast, s_exact)
     hist = boundary_distance_hist(exact, fast, max_d=8)
