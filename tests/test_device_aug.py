@@ -317,6 +317,44 @@ def test_split_aug_train_step_matches_fused():
     assert abs(results[0] - results[1]) < 1e-5
 
 
+def test_split_aug_with_grad_accum_runs_on_mesh():
+    """grad_accum>1 under the split path: the aug draws once for the
+    whole batch (documented divergence from the fused path's
+    per-microbatch re-draw — same distribution, different stream); the
+    step must run on the dp mesh and produce a finite loss with the
+    step counter advancing."""
+    from fastscnn_tpu.losses import get_loss_fn
+    from fastscnn_tpu.models import FastSCNN
+    from fastscnn_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_optimizer,
+        make_split_aug_train_step,
+    )
+    from fastscnn_tpu.utils import lr_schedule
+
+    model = FastSCNN(num_classes=2, aux=True)
+    optimizer = make_optimizer(
+        "sgd", lr_schedule("poly", base_lr=1e-2, niters=50, power=0.9)
+    )
+    aug = make_device_augment(
+        base_size=BASE, crop_size=CROP, pad_label=0, compute_dtype=jnp.float32
+    )
+    split = make_split_aug_train_step(
+        model, get_loss_fn("dice", aux=True), optimizer, aug,
+        mesh=make_mesh(n_data=4), compute_dtype=jnp.float32,
+        grad_accum=2, donate=False,
+    )
+    rng = np.random.default_rng(3)
+    # batch = grad_accum × n_data so each microbatch shards evenly
+    images = jnp.asarray(rng.integers(0, 256, (8, H, W, 3)).astype(np.uint8))
+    masks = jnp.asarray(rng.integers(0, 2, (8, H, W)).astype(np.int8))  # i8 wire
+    state = create_train_state(model, optimizer, key=jax.random.PRNGKey(0))
+    state, metrics = split(state, images, masks, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
 def test_split_aug_rejects_spatial_shard():
     from fastscnn_tpu.losses import get_loss_fn
     from fastscnn_tpu.models import FastSCNN
